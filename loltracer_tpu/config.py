@@ -1,0 +1,52 @@
+"""Render configuration.
+
+The reference hardcodes every render constant at compile time
+(march: naive_renderer.c:49-51, shadows: naive_renderer.c:99,
+normal h: naive_renderer.c:119, gamma: naive_renderer.c:231).
+Here they are a single config dataclass, hashable so it can be a static
+argument to jitted renderers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """All render-time constants, defaulting to the reference's values."""
+
+    # Sphere-trace march (naive_renderer.c:49-51)
+    max_steps: int = 256
+    epsilon: float = 1e-3
+    max_dist: float = 100.0
+
+    # Soft shadows (naive_renderer.c:92-100): 128 steps, sharpness w=50,
+    # shadow-ray origin offset of a full unit toward the light
+    # (naive_renderer.c:97 — a quirk we reproduce by default).
+    shadow_steps: int = 128
+    shadow_w: float = 50.0
+    shadow_offset: float = 1.0
+    shadow_epsilon: float = 1e-3  # declared but unused by the reference too
+
+    # Normal estimation: tetrahedron taps at h = dist/100
+    # (naive_renderer.c:114-125).
+    normal_h_scale: float = 0.01
+
+    # Output (naive_renderer.c:231)
+    gamma: float = 1.0 / 2.2
+
+    # Camera projection: the reference computes the half-height of the view
+    # plane as atan(fov/2) instead of the standard tan(fov/2)
+    # (naive_renderer.c:183). True reproduces the reference.
+    atan_fov: bool = True
+
+    # Tile shape for tiled/Pallas rendering; lane dim must stay 128.
+    tile_h: int = 8
+    tile_w: int = 128
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = RenderConfig()

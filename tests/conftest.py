@@ -1,0 +1,30 @@
+"""Test configuration: run JAX on CPU with 8 faked devices so sharding tests
+exercise a multi-device mesh without TPU hardware (the standard JAX substitute
+for a fake distributed backend; see SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+@pytest.fixture(scope="session")
+def examples_dir() -> pathlib.Path:
+    return EXAMPLES
+
+
+@pytest.fixture(
+    scope="session", params=["scene.lol", "scene2.lol", "scene3.lol", "scene4.lol"]
+)
+def example_path(request) -> pathlib.Path:
+    return EXAMPLES / request.param
