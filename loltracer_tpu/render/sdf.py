@@ -1,0 +1,111 @@
+"""Batched, differentiable scene-SDF evaluation in jnp.
+
+`make_scene_sdf(structure)` is the TPU-native analog of the reference's
+scene JIT (tracing_jit_renderer.dasc:76-143): it walks the static scene
+structure ONCE in Python and returns a closure whose jnp ops are specialized
+to that structure when traced by XLA. Parameters stay traced inputs, so the
+closure is differentiable w.r.t. every scene number.
+
+Evaluation is struct-of-arrays: one batched distance computation per
+primitive *type* over all primitives of that type (top-level and CSG leaves
+alike), then per-object expressions assemble their distances from the
+precomputed columns, then a first-wins argmin picks the hit object
+(naive_renderer.c:30-44; strict `<` tie rule of the naive backend — a
+documented decision, since the reference's JIT backend breaks ties the other
+way, SURVEY.md §2.1.3).
+
+All ops are plain jnp on arrays shaped [..., ] and work identically inside
+Pallas kernel bodies (the Pallas renderer reuses these builders).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from loltracer_tpu.scene import Node, SceneParams, SceneStructure
+
+
+def smooth_min(a, b, k):
+    """Polynomial smooth-min (float.h:29-33), safe at k == 0 where it
+    degenerates to a hard min exactly as the reference's float math does
+    (division yields +/-inf, the SSE clamp collapses it; SURVEY golden
+    tracer sminf)."""
+    safe_k = jnp.where(k == 0.0, 1.0, k)
+    h = jnp.clip(0.5 + 0.5 * (b - a) / safe_k, 0.0, 1.0)
+    h = jnp.where(k == 0.0, jnp.where(b > a, 1.0, 0.0), h)
+    return (b + (a - b) * h) - k * h * (1.0 - h)
+
+
+def _sphere_dists(params: SceneParams, p):
+    """[..., 3] -> [..., Ns]: |p - c| - r for every sphere (sdf.h:8-10)."""
+    d = p[..., None, :] - params.sphere_point  # [..., Ns, 3]
+    return jnp.sqrt(jnp.sum(d * d, axis=-1)) - params.sphere_radius
+
+
+def _box_dists(params: SceneParams, p):
+    """[..., 3] -> [..., Nb]: rounded-box distance (sdf.h:18-22)."""
+    q = jnp.abs(p[..., None, :] - params.box_point) - params.box_half
+    cq = jnp.maximum(q, 0.0)
+    outside = jnp.sqrt(jnp.sum(cq * cq, axis=-1))
+    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return outside + inside - params.box_radius
+
+
+def _plane_dists(params: SceneParams, p):
+    """[..., 3] -> [..., Np]: p.y - y (naive_renderer.c:19-20)."""
+    return p[..., 1:2] - params.plane_y
+
+
+def make_scene_sdf(
+    structure: SceneStructure,
+) -> Callable:
+    """Build `sdf(params, p[..., 3]) -> dist[...]` for this structure."""
+
+    def sdf(params: SceneParams, p):
+        dists = _object_dists(structure, params, p)
+        return jnp.min(jnp.stack(dists, axis=-1), axis=-1)
+
+    return sdf
+
+
+def make_scene_sdf_with_id(structure: SceneStructure) -> Callable:
+    """Build `sdf(params, p[..., 3]) -> (dist[...], id[...] int32)`.
+
+    Ids are 1-based file-order object positions; jnp.argmin keeps the first
+    minimum, i.e. the naive backend's first-wins tie rule."""
+
+    def sdf(params: SceneParams, p):
+        dists = jnp.stack(_object_dists(structure, params, p), axis=-1)
+        return (
+            jnp.min(dists, axis=-1),
+            jnp.argmin(dists, axis=-1).astype(jnp.int32) + 1,
+        )
+
+    return sdf
+
+
+def _object_dists(structure: SceneStructure, params: SceneParams, p):
+    """Per-top-level-object distances, each [...], in file order."""
+    # Batched per-type distance columns, computed once and shared by every
+    # expression that references that type.
+    columns: Dict[str, jnp.ndarray] = {}
+    if structure.num_spheres:
+        columns["sphere"] = _sphere_dists(params, p)
+    if structure.num_boxes:
+        columns["box"] = _box_dists(params, p)
+    if structure.num_planes:
+        columns["plane"] = _plane_dists(params, p)
+
+    def eval_node(node: Node):
+        kind = node[0]
+        if kind == "smin":
+            _, k, a, b = node
+            return smooth_min(
+                eval_node(a), eval_node(b), params.smooth_k[k]
+            )
+        return columns[kind][..., node[1]]
+
+    return [eval_node(node) for node in structure.objects]

@@ -1,0 +1,153 @@
+"""Shadows, normals and Blinn/Phong shading (naive_renderer.c:71-175),
+batched and AD-safe.
+
+Soft shadows are iq-style (naive_renderer.c:71-100) with the reference's
+quirks kept: the shadow ray starts a full `shadow_offset` unit from the
+surface toward the light (naive_renderer.c:97), the first iteration divides
+by dist = 0 yielding +/-inf (benign: min(1, +inf) = 1, and -inf trips the
+res < -1 early-out into a hard 0), and the loop caps at `shadow_steps` with
+sharpness `shadow_w`.
+
+The fixed-trip-count scan replaces the data-dependent break with sticky
+per-lane done flags, which makes the whole shadow computation reverse-mode
+differentiable; the body is rematerialized so backward memory stays at one
+carry per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from loltracer_tpu.config import RenderConfig
+from loltracer_tpu.scene import SceneParams, SceneStructure
+
+_NORMAL_KS = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
+
+
+def _normalize(v):
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def soft_shadow(
+    sdf: Callable,
+    params,
+    ro,
+    rd,
+    max_dist,
+    cfg: RenderConfig,
+):
+    """softshadow(scene, ro, rd, 128, light_dist, 50) of
+    naive_renderer.c:71-90. `ro` is the already-offset origin; `max_dist`
+    the per-ray distance to the light."""
+    batch = jnp.broadcast_shapes(ro.shape[:-1], rd.shape[:-1], max_dist.shape)
+    dtype = rd.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    @jax.checkpoint
+    def body(carry, _):
+        res, t, done = carry
+        p = ro + t[..., None] * rd
+        d = sdf(params, p)
+        safe_t = jnp.where(t > 0, t, 1.0)
+        # first iteration: w*d/0 -> +/-inf (naive_renderer.c:83); the d == 0
+        # corner (NaN in C) is mapped to +inf, a documented measure-zero
+        # simplification.
+        val = jnp.where(
+            t > 0, cfg.shadow_w * d / safe_t, jnp.where(d < 0, -inf, inf)
+        )
+        new_res = jnp.where(done, res, jnp.minimum(res, val))
+        new_t = jnp.where(done, t, t + d)
+        new_done = done | (new_res < -1) | (new_t > max_dist)
+        return (new_res, new_t, new_done), None
+
+    init = (
+        jnp.ones(batch, dtype),
+        jnp.zeros(batch, dtype),
+        jnp.zeros(batch, bool),
+    )
+    (res, _, _), _ = lax.scan(body, init, None, length=cfg.shadow_steps)
+    return jnp.maximum(res, 0.0)
+
+
+def get_normal(sdf: Callable, params, p, dist, cfg: RenderConfig):
+    """Tetrahedron-offset normal estimation with h = dist/100
+    (naive_renderer.c:114-125)."""
+    h = (dist * cfg.normal_h_scale)[..., None]
+    n = jnp.zeros_like(p)
+    for kt in _NORMAL_KS:
+        k = jnp.asarray(kt, p.dtype)
+        n = n + k * sdf(params, p + k * h)[..., None]
+    return _normalize(n)
+
+
+def _safe_pow(base, exponent):
+    """base ** exponent for base in [0, 1] with C powf corner semantics
+    (powf(0, 0) == 1) and NaN-free gradients at base == 0."""
+    positive = base > 0
+    safe_base = jnp.where(positive, base, 1.0)
+    powv = safe_base**exponent
+    return jnp.where(positive, powv, jnp.where(exponent == 0.0, 1.0, 0.0))
+
+
+def shade(
+    structure: SceneStructure,
+    params: SceneParams,
+    sdf: Callable,
+    p,
+    n,
+    obj_id,
+    cfg: RenderConfig,
+):
+    """Phong shading with per-light soft shadows (naive_renderer.c:127-175).
+
+    p: hit points [..., 3]; n: unit normals [..., 3]; obj_id: [...] int32
+    (0 = miss -> material 0, the background material). Returns clamped
+    linear RGB [..., 3].
+    """
+    mat_ids = jnp.asarray(structure.material_ids, jnp.int32)
+    mat = mat_ids[obj_id]
+    shininess = params.mat_shininess[mat]
+    diffuse = params.mat_diffuse[mat]
+    specular = params.mat_specular[mat]
+    ambient = params.mat_ambient[mat]
+
+    total = jnp.zeros_like(p)
+    cam_pos = params.cam_point
+
+    for li in range(structure.num_lights):
+        light_pos = params.light_point[li]
+        to_light = light_pos - p
+        light_dist = jnp.sqrt(_dot(to_light, to_light))
+        light_dir = _normalize(to_light)
+
+        shadow_ro = p + light_dir * cfg.shadow_offset
+        shadow = soft_shadow(sdf, params, shadow_ro, light_dir, light_dist, cfg)
+
+        diffuse_incidence = jnp.clip(_dot(n, light_dir), 0.0, 1.0)
+        total = total + (
+            params.light_diffuse[li]
+            * (shadow * diffuse_incidence)[..., None]
+            * diffuse
+        )
+
+        reflected = n * (2.0 * _dot(light_dir, n))[..., None] - light_dir
+        camera_dir = _normalize(cam_pos - p)
+        base = jnp.clip(_dot(reflected, camera_dir), 0.0, 1.0)
+        specular_incidence = diffuse_incidence * _safe_pow(base, shininess)
+        total = total + (
+            params.light_specular[li]
+            * (shadow * specular_incidence)[..., None]
+            * specular
+        )
+
+    total = total + params.ambient_color * ambient
+    return jnp.clip(total, 0.0, 1.0)

@@ -13,7 +13,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# Persist XLA executables across test runs; render-graph compiles on CPU take
+# tens of seconds and dominate suite time otherwise.
+_CACHE_DIR = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 
