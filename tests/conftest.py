@@ -22,6 +22,11 @@ _CACHE_DIR = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
 jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# This image ships an `axon` TPU-tunnel plugin that ignores JAX_PLATFORMS and
+# would silently route every op over the network to the one real TPU chip;
+# tests must run on local CPU (with the 8 faked devices above).
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 
 

