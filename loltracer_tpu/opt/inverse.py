@@ -1,0 +1,150 @@
+"""Inverse rendering via gradient descent on the scene pytree.
+
+This is the capability the differentiable design exists for (BASELINE config
+4: recover scene4's primitive positions/colors from a target image with
+Adam). The reference has no analog — its scene is fixed at parse time.
+
+Includes checkpoint/resume (SURVEY.md §5.4: the reference persists nothing;
+here optimizer state + params round-trip through a pickle file so a
+multi-host run can re-enter after a host restart)."""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Callable, Iterable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
+from loltracer_tpu.parallel.mesh import make_mesh
+from loltracer_tpu.parallel.sharded import make_sharded_train_step
+from loltracer_tpu.scene import SceneParams, SceneStructure
+
+# Parameter families it usually makes sense to optimize; camera excluded by
+# default (optimizing the camera against a fixed-camera target is degenerate).
+GEOMETRY_FIELDS = (
+    "sphere_point",
+    "sphere_radius",
+    "box_point",
+    "box_half",
+    "box_radius",
+    "plane_y",
+    "smooth_k",
+)
+APPEARANCE_FIELDS = (
+    "mat_shininess",
+    "mat_diffuse",
+    "mat_specular",
+    "mat_ambient",
+    "ambient_color",
+    "light_point",
+    "light_diffuse",
+    "light_specular",
+)
+DEFAULT_TRAINABLE = GEOMETRY_FIELDS + APPEARANCE_FIELDS
+
+
+def trainable_mask(params: SceneParams, fields: Sequence[str]) -> SceneParams:
+    """A bool pytree marking which parameter fields the optimizer updates."""
+    return SceneParams(
+        **{
+            f.name: f.name in fields
+            for f in dataclasses.fields(SceneParams)
+        }
+    )
+
+
+def default_project(params: SceneParams) -> SceneParams:
+    """Keep parameters in their valid domain after each update: radii and
+    CSG smoothness positive (a zero radius/smoothness is a degenerate SDF),
+    material colors and ambient non-negative."""
+    return dataclasses.replace(
+        params,
+        sphere_radius=jnp.maximum(params.sphere_radius, 1e-3),
+        box_radius=jnp.maximum(params.box_radius, 0.0),
+        box_half=jnp.maximum(params.box_half, 1e-3),
+        smooth_k=jnp.maximum(params.smooth_k, 1e-3),
+        mat_diffuse=jnp.maximum(params.mat_diffuse, 0.0),
+        mat_specular=jnp.maximum(params.mat_specular, 0.0),
+        mat_ambient=jnp.maximum(params.mat_ambient, 0.0),
+        ambient_color=jnp.maximum(params.ambient_color, 0.0),
+    )
+
+
+class FitResult(NamedTuple):
+    params: SceneParams
+    losses: np.ndarray  # [steps]
+
+
+def fit_scene(
+    structure: SceneStructure,
+    params: SceneParams,
+    target: jnp.ndarray,
+    steps: int = 200,
+    learning_rate: float = 1e-2,
+    trainable: Sequence[str] = DEFAULT_TRAINABLE,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    mesh=None,
+    project: Optional[Callable[[SceneParams], SceneParams]] = default_project,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 50,
+    log_every: int = 0,
+) -> FitResult:
+    """Adam-fit the scene to a target image [H, W, 3] (already gamma-encoded,
+    as render_image outputs). Rendering/backward run row-sharded over `mesh`
+    (default: a mesh over all devices that divides H; falls back to one
+    device)."""
+    height, width = int(target.shape[0]), int(target.shape[1])
+    if mesh is None:
+        n = len(jax.devices())
+        while height % n:
+            n -= 1
+        mesh = make_mesh(n_devices=n)
+
+    optimizer = optax.masked(
+        optax.adam(learning_rate), trainable_mask(params, trainable)
+    )
+    step_fn = make_sharded_train_step(
+        structure, mesh, height, width, optimizer, cfg, project=project
+    )
+
+    start = 0
+    opt_state = optimizer.init(params)
+    if checkpoint_path is not None:
+        loaded = load_checkpoint(checkpoint_path)
+        if loaded is not None:
+            start, params, opt_state = loaded
+
+    losses = []
+    for i in range(start, steps):
+        params, opt_state, loss = step_fn(params, opt_state, target)
+        losses.append(float(loss))
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            print(f"[fit] step {i} loss {float(loss):.6g}")
+        if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, i + 1, params, opt_state)
+
+    return FitResult(params=params, losses=np.asarray(losses))
+
+
+def save_checkpoint(path: str, step: int, params: SceneParams, opt_state):
+    state = {
+        "step": step,
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+
+
+def load_checkpoint(path: str):
+    try:
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+    except FileNotFoundError:
+        return None
+    return state["step"], state["params"], state["opt_state"]

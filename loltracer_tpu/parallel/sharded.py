@@ -1,0 +1,135 @@
+"""Pixel-sharded rendering and training over a device mesh.
+
+The image's row axis is statically partitioned over the mesh's 'devices'
+axis via shard_map — the SPMD replacement for the reference's dynamic
+scanline stealing (naive_renderer.c:216). Forward needs zero communication
+(each device owns its rows end-to-end, mirroring the reference's disjoint
+scanline writes); backward all-reduces only the KB-sized scene-parameter
+gradient pytree via psum, which XLA routes over ICI/DCN and overlaps with
+the backward computation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
+from loltracer_tpu.parallel.mesh import AXIS
+from loltracer_tpu.render.camera import camera_rays_for_rows
+from loltracer_tpu.render.jnp_renderer import render_rays
+from loltracer_tpu.scene import SceneParams, SceneStructure
+
+
+def _check_divisible(height: int, mesh: Mesh) -> None:
+    n = mesh.devices.size
+    if height % n != 0:
+        raise ValueError(
+            f"image height {height} must divide evenly over {n} devices; "
+            f"pad the render height (e.g. to {-(-height // n) * n})"
+        )
+
+
+def make_sharded_renderer(
+    structure: SceneStructure,
+    mesh: Mesh,
+    height: int,
+    width: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    dtype=jnp.float32,
+) -> Callable[[SceneParams], jnp.ndarray]:
+    """Compile `params -> [H, W, 3]` with rows sharded over the mesh and the
+    scene parameters replicated."""
+    _check_divisible(height, mesh)
+
+    def render_rows(params: SceneParams, rows):
+        ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
+        return render_rays(structure, params, ro, rd, cfg)
+
+    sharded = shard_map(
+        render_rows,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    rows = jnp.arange(height, dtype=jnp.int32)
+
+    @jax.jit
+    def renderer(params: SceneParams) -> jnp.ndarray:
+        return sharded(params, rows)
+
+    return renderer
+
+
+def make_sharded_loss(
+    structure: SceneStructure,
+    mesh: Mesh,
+    height: int,
+    width: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    dtype=jnp.float32,
+) -> Callable[[SceneParams, jnp.ndarray], jnp.ndarray]:
+    """`(params, target [H, W, 3]) -> scalar mean-squared-error`, computed
+    with rows sharded and the partial sums all-reduced (the backward pass of
+    the psum is where scene-parameter gradients get all-reduced)."""
+    _check_divisible(height, mesh)
+
+    def local_loss(params: SceneParams, rows, target_rows):
+        ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
+        img = render_rays(structure, params, ro, rd, cfg)
+        sq = (img - target_rows) ** 2
+        return lax.psum(jnp.sum(sq), AXIS) / (height * width * 3)
+
+    sharded = shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    rows = jnp.arange(height, dtype=jnp.int32)
+
+    def loss(params: SceneParams, target: jnp.ndarray) -> jnp.ndarray:
+        return sharded(params, rows, target)
+
+    return loss
+
+
+def make_sharded_train_step(
+    structure: SceneStructure,
+    mesh: Mesh,
+    height: int,
+    width: int,
+    optimizer,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    dtype=jnp.float32,
+    project: Optional[Callable[[SceneParams], SceneParams]] = None,
+):
+    """Build a jitted SPMD training step for inverse rendering:
+
+      (params, opt_state, target) -> (params, opt_state, loss)
+
+    Rendering and the loss are row-sharded; gradients arrive replicated
+    (psum'd) so the optimizer update runs identically on every device.
+    `project` optionally re-projects params after the update (e.g. radii > 0).
+    """
+    loss_fn = make_sharded_loss(structure, mesh, height, width, cfg, dtype)
+
+    @jax.jit
+    def step(params: SceneParams, opt_state, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if project is not None:
+            params = project(params)
+        return params, opt_state, loss
+
+    return step

@@ -21,20 +21,39 @@ from loltracer_tpu.scene import SceneParams
 
 _UP_GUIDE = (0.0, 1.0, 0.0)
 
-
-def _normalize(v):
-    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+from loltracer_tpu.render.vecmath import cross as _cross, normalize as _normalize
 
 
-def _cross(a, b):
-    return jnp.stack(
-        [
-            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
-            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
-            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
-        ],
-        axis=-1,
+def camera_rays_for_rows(
+    params: SceneParams,
+    rows,
+    height_px: int,
+    width_px: int,
+    cfg: RenderConfig,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray grid for a subset of image rows (the sharding unit: each device
+    owns a block of rows end-to-end, like the reference's disjoint
+    scanlines). rows: [R] int row indices. Returns (ro [3], rd [R, W, 3])."""
+    up_guide = jnp.asarray(_UP_GUIDE, dtype)
+    direction = _normalize(params.cam_direction.astype(dtype))
+    half_fov = params.cam_fov.astype(dtype) / 2.0
+    h = jnp.arctan(half_fov) if cfg.atan_fov else jnp.tan(half_fov)
+    aspect = width_px / height_px
+    w = aspect * h
+
+    right_dir = _normalize(_cross(direction, up_guide))
+    up_dir = _cross(right_dir, direction)
+
+    vx = (jnp.arange(width_px, dtype=dtype) + 0.5) / width_px * 2.0 - 1.0
+    vy = 1.0 - (rows.astype(dtype) + 0.5) / height_px * 2.0
+
+    rd = (
+        right_dir * (vx[None, :, None] * w)
+        + up_dir * (vy[:, None, None] * h)
+        + direction
     )
+    return params.cam_point.astype(dtype), _normalize(rd)
 
 
 def camera_rays(
@@ -50,22 +69,5 @@ def camera_rays(
     (naive_renderer.c:218-221); aspect = W/H follows the surface each frame
     (naive_renderer.c:213).
     """
-    up_guide = jnp.asarray(_UP_GUIDE, dtype)
-    direction = _normalize(params.cam_direction.astype(dtype))
-    half_fov = params.cam_fov.astype(dtype) / 2.0
-    h = jnp.arctan(half_fov) if cfg.atan_fov else jnp.tan(half_fov)
-    aspect = width_px / height_px
-    w = aspect * h
-
-    right_dir = _normalize(_cross(direction, up_guide))
-    up_dir = _cross(right_dir, direction)
-
-    vx = (jnp.arange(width_px, dtype=dtype) + 0.5) / width_px * 2.0 - 1.0
-    vy = 1.0 - (jnp.arange(height_px, dtype=dtype) + 0.5) / height_px * 2.0
-
-    rd = (
-        right_dir * (vx[None, :, None] * w)
-        + up_dir * (vy[:, None, None] * h)
-        + direction
-    )
-    return params.cam_point.astype(dtype), _normalize(rd)
+    rows = jnp.arange(height_px, dtype=jnp.int32)
+    return camera_rays_for_rows(params, rows, height_px, width_px, cfg, dtype)

@@ -28,13 +28,7 @@ from loltracer_tpu.scene import SceneParams, SceneStructure
 
 _NORMAL_KS = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
 
-
-def _normalize(v):
-    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-
-
-def _dot(a, b):
-    return jnp.sum(a * b, axis=-1)
+from loltracer_tpu.render.vecmath import dot as _dot, normalize as _normalize
 
 
 def soft_shadow(
@@ -80,12 +74,20 @@ def soft_shadow(
 
 def get_normal(sdf: Callable, params, p, dist, cfg: RenderConfig):
     """Tetrahedron-offset normal estimation with h = dist/100
-    (naive_renderer.c:114-125)."""
-    h = (dist * cfg.normal_h_scale)[..., None]
-    n = jnp.zeros_like(p)
-    for kt in _NORMAL_KS:
-        k = jnp.asarray(kt, p.dtype)
-        n = n + k * sdf(params, p + k * h)[..., None]
+    (naive_renderer.c:114-125).
+
+    The four taps run as ONE batched SDF call over a leading tap axis —
+    single kernel instead of four, and the fused XLA backward of the
+    four-separate-calls formulation miscompiled to NaN/garbage gradients on
+    XLA:CPU (observed empirically; the batched graph is also what we want on
+    TPU)."""
+    ks = jnp.asarray(_NORMAL_KS, p.dtype)  # [4, 3]
+    batch_ndim = p.ndim - 1
+    ks_b = ks.reshape((4,) + (1,) * batch_ndim + (3,))
+    h = (dist * cfg.normal_h_scale)[..., None]  # [..., 1]
+    pts = p[None] + ks_b * h[None]  # [4, ..., 3] — tap axis leading
+    d = sdf(params, pts)  # [4, ...]
+    n = jnp.tensordot(jnp.moveaxis(d, 0, -1), ks, axes=([-1], [0]))  # [..., 3]
     return _normalize(n)
 
 
