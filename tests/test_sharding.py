@@ -80,21 +80,25 @@ def test_sharded_train_step_decreases_loss(scene, cpu8):
     single = make_renderer(scene.structure, H, W)
     target = single(scene.params)
 
-    # perturb geometry, then take Adam steps back toward the target
+    # perturb sphere geometry, then Adam-step that field back to the target
     import dataclasses
+
+    from loltracer_tpu.opt import trainable_mask
 
     perturbed = dataclasses.replace(
         scene.params,
         sphere_point=scene.params.sphere_point + np.float32(0.3),
     )
-    optimizer = optax.adam(5e-2)
+    optimizer = optax.masked(
+        optax.adam(5e-2), trainable_mask(scene.params, ("sphere_point",))
+    )
     step = make_sharded_train_step(
         scene.structure, mesh, H, W, optimizer
     )
     opt_state = optimizer.init(perturbed)
     params = perturbed
     losses = []
-    for _ in range(10):
+    for _ in range(25):
         params, opt_state, loss = step(params, opt_state, target)
         losses.append(float(loss))
-    assert losses[-1] < losses[0] * 0.7, losses
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
