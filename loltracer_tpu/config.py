@@ -36,6 +36,14 @@ class RenderConfig:
     # Output (naive_renderer.c:231)
     gamma: float = 1.0 / 2.2
 
+    # Soft-coverage antialiasing (NOT in the reference; off by default for
+    # pixel parity). When on, near-miss rays within ~aa_width pixels of a
+    # silhouette blend the occluder's color by a differentiable coverage
+    # alpha — both an image-quality feature and the source of silhouette
+    # gradients for inverse rendering (render/march.py intersect_aa).
+    antialias: bool = False
+    aa_width: float = 1.0
+
     # Camera projection: the reference computes the half-height of the view
     # plane as atan(fov/2) instead of the standard tan(fov/2)
     # (naive_renderer.c:183). True reproduces the reference.

@@ -5,6 +5,7 @@ from loltracer_tpu.opt.inverse import (
     default_project,
     fit_scene,
     load_checkpoint,
+    masked_optimizer,
     save_checkpoint,
     trainable_mask,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "fit_scene",
     "FitResult",
     "trainable_mask",
+    "masked_optimizer",
     "default_project",
     "save_checkpoint",
     "load_checkpoint",

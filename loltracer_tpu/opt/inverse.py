@@ -58,6 +58,24 @@ def trainable_mask(params: SceneParams, fields: Sequence[str]) -> SceneParams:
     )
 
 
+def masked_optimizer(inner, params: SceneParams, fields: Sequence[str]):
+    """Apply `inner` to the listed fields and ZERO the updates of all other
+    leaves. (Plain optax.masked alone passes unmasked leaves' incoming
+    gradients through unchanged, which would apply them as raw
+    gradient-ascent steps — a silent corruption of every frozen field.)"""
+    mask = trainable_mask(params, fields)
+    inv = SceneParams(
+        **{
+            f.name: not getattr(mask, f.name)
+            for f in dataclasses.fields(SceneParams)
+        }
+    )
+    return optax.chain(
+        optax.masked(inner, mask),
+        optax.masked(optax.set_to_zero(), inv),
+    )
+
+
 def default_project(params: SceneParams) -> SceneParams:
     """Keep parameters in their valid domain after each update: radii and
     CSG smoothness positive (a zero radius/smoothness is a degenerate SDF),
@@ -105,9 +123,7 @@ def fit_scene(
             n -= 1
         mesh = make_mesh(n_devices=n)
 
-    optimizer = optax.masked(
-        optax.adam(learning_rate), trainable_mask(params, trainable)
-    )
+    optimizer = masked_optimizer(optax.adam(learning_rate), params, trainable)
     step_fn = make_sharded_train_step(
         structure, mesh, height, width, optimizer, cfg, project=project
     )

@@ -24,7 +24,7 @@ from jax import shard_map
 from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
 from loltracer_tpu.parallel.mesh import AXIS
 from loltracer_tpu.render.camera import camera_rays_for_rows
-from loltracer_tpu.render.jnp_renderer import render_rays
+from loltracer_tpu.render.jnp_renderer import pixel_radius, render_rays
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
 
@@ -51,7 +51,8 @@ def make_sharded_renderer(
 
     def render_rows(params: SceneParams, rows):
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
-        return render_rays(structure, params, ro, rd, cfg)
+        pr = pixel_radius(params, height, cfg) if cfg.antialias else None
+        return render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
 
     sharded = shard_map(
         render_rows,
@@ -84,7 +85,8 @@ def make_sharded_loss(
 
     def local_loss(params: SceneParams, rows, target_rows):
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
-        img = render_rays(structure, params, ro, rd, cfg)
+        pr = pixel_radius(params, height, cfg) if cfg.antialias else None
+        img = render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
         sq = (img - target_rows) ** 2
         return lax.psum(jnp.sum(sq), AXIS) / (height * width * 3)
 

@@ -17,10 +17,19 @@ import jax.numpy as jnp
 
 from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
 from loltracer_tpu.render.camera import camera_rays
-from loltracer_tpu.render.march import intersect
+from loltracer_tpu.render.march import intersect_aa
 from loltracer_tpu.render.sdf import make_scene_sdf, make_scene_sdf_with_id
 from loltracer_tpu.render.shading import get_normal, shade
 from loltracer_tpu.scene import Scene, SceneParams, SceneStructure
+
+
+def pixel_radius(params: SceneParams, height: int, cfg: RenderConfig):
+    """Angular half-size of a pixel at the view center: the view half-height
+    (atan(fov/2), the reference's projection quirk) spans height/2 pixels."""
+    half = jnp.arctan(params.cam_fov / 2.0) if cfg.atan_fov else jnp.tan(
+        params.cam_fov / 2.0
+    )
+    return cfg.aa_width * half / height
 
 
 def gamma_encode(color, gamma: float):
@@ -38,16 +47,25 @@ def render_rays(
     ro,
     rd,
     cfg: RenderConfig = DEFAULT_CONFIG,
+    pixel_rad=None,
 ) -> jnp.ndarray:
     """Render arbitrary ray batches: ro [3] or [..., 3], rd [..., 3] ->
-    gamma-corrected RGB [..., 3]."""
+    gamma-corrected RGB [..., 3]. With cfg.antialias and a pixel_rad
+    (see pixel_radius), silhouettes get soft differentiable coverage."""
     sdf = make_scene_sdf(structure)
     sdf_id = make_scene_sdf_with_id(structure)
 
-    t, obj_id = intersect(sdf, sdf_id, params, ro, rd, cfg)
+    use_aa = cfg.antialias and pixel_rad is not None
+    t, obj_id, alpha, hit = intersect_aa(
+        sdf, sdf_id, params, ro, rd, cfg, pixel_rad if use_aa else None
+    )
     p = ro + t[..., None] * rd
     n = get_normal(sdf, params, p, t, cfg)
     color = shade(structure, params, sdf, p, n, obj_id, cfg)
+    if use_aa:
+        # blend toward the background (material 0 ambient) in linear space
+        bg = jnp.clip(params.ambient_color * params.mat_ambient[0], 0.0, 1.0)
+        color = alpha[..., None] * color + (1.0 - alpha[..., None]) * bg
     return gamma_encode(color, cfg.gamma)
 
 
@@ -61,7 +79,8 @@ def render_image(
 ) -> jnp.ndarray:
     """Render the full image: [H, W, 3] float in [0, 1]."""
     ro, rd = camera_rays(params, height, width, cfg, dtype=dtype)
-    return render_rays(structure, params, ro, rd, cfg)
+    pr = pixel_radius(params, height, cfg) if cfg.antialias else None
+    return render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
 
 
 def make_renderer(

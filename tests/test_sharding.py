@@ -76,24 +76,28 @@ def test_sharded_grad_matches_unsharded(scene, cpu8):
 
 
 def test_sharded_train_step_decreases_loss(scene, cpu8):
+    from loltracer_tpu.config import RenderConfig
+
+    cfg_aa = RenderConfig(antialias=True)  # silhouette gradients
     mesh = make_mesh(cpu8, n_devices=4)
-    single = make_renderer(scene.structure, H, W)
+    single = make_renderer(scene.structure, H, W, cfg_aa)
     target = single(scene.params)
 
     # perturb sphere geometry, then Adam-step that field back to the target
     import dataclasses
 
-    from loltracer_tpu.opt import trainable_mask
+    from loltracer_tpu.opt import masked_optimizer
 
+    sp = np.array(scene.params.sphere_point)
+    sp[0, 0] += 0.2  # image-plane perturbation of the first sphere
     perturbed = dataclasses.replace(
-        scene.params,
-        sphere_point=scene.params.sphere_point + np.float32(0.3),
+        scene.params, sphere_point=np.asarray(sp, np.float32)
     )
-    optimizer = optax.masked(
-        optax.adam(5e-2), trainable_mask(scene.params, ("sphere_point",))
+    optimizer = masked_optimizer(
+        optax.adam(2e-2), scene.params, ("sphere_point",)
     )
     step = make_sharded_train_step(
-        scene.structure, mesh, H, W, optimizer
+        scene.structure, mesh, H, W, optimizer, cfg_aa
     )
     opt_state = optimizer.init(perturbed)
     params = perturbed
