@@ -1,0 +1,101 @@
+"""Benchmark: rays/s per chip, forward + backward, scene4 @ 1920x1080.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "rays/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md: `published: {}`), so
+`vs_baseline` is reported against a documented nominal estimate of the
+reference CPU tracer's primary-ray throughput: its JIT backend renders the
+default 320x240 window interactively (~10-15 fps on a desktop core,
+main.c:136-137 and the per-frame timing log main.c:202-204), i.e. on the
+order of 1e6 primary rays/s forward-only. We use 1.0e6 rays/s as that
+nominal anchor; our metric is the strictly harder forward+backward.
+
+Env overrides: BENCH_SCENE (path), BENCH_W/BENCH_H, BENCH_MODE
+(fwd | fwdbwd), BENCH_REPS.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from loltracer_tpu.utils.cache import enable_cache
+
+    enable_cache()
+
+    from loltracer_tpu.config import RenderConfig
+    from loltracer_tpu.lol import parse_scene_file
+    from loltracer_tpu.render.jnp_renderer import render_image
+    from loltracer_tpu.scene import build_scene
+
+    scene_path = os.environ.get("BENCH_SCENE", "examples/scene4.lol")
+    width = int(os.environ.get("BENCH_W", 1920))
+    height = int(os.environ.get("BENCH_H", 1080))
+    mode = os.environ.get("BENCH_MODE", "fwdbwd")
+    reps = int(os.environ.get("BENCH_REPS", 5))
+
+    scene = build_scene(parse_scene_file(scene_path))
+    structure, params = scene.structure, scene.params
+    cfg = RenderConfig()
+
+    # Outputs are reduced to scalars ON DEVICE so the timing measures the
+    # render/backward computation, not the 24MB image transfer through the
+    # axon tunnel. XLA still executes the full pipeline to produce the
+    # reductions.
+    if mode == "fwd":
+        fn = jax.jit(
+            lambda p: jnp.sum(render_image(structure, p, height, width, cfg))
+        )
+    else:
+
+        def loss(p):
+            img = render_image(structure, p, height, width, cfg)
+            return jnp.mean(img * img)
+
+        def both(p):
+            l, g = jax.value_and_grad(loss)(p)
+            gnorm = sum(
+                jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g)
+            )
+            return l, gnorm
+
+        fn = jax.jit(both)
+
+    def fetch(out):
+        # force materialization on the host: through the axon TPU tunnel,
+        # block_until_ready returns before execution finishes, so timing
+        # must fetch actual (scalar) values
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    # compile + warmup
+    fetch(fn(params))
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch(fn(params))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    rays = height * width
+    rays_per_s = rays / best
+
+    result = {
+        "metric": f"rays/s/chip {mode} {os.path.basename(scene_path)} "
+        f"{width}x{height}",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / 1.0e6, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,16 @@ def make_mesh(
     8 faked CPU devices."""
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            # fall back to (possibly faked) host CPU devices — e.g. under
+            # --xla_force_host_platform_device_count with a TPU plugin that
+            # ignores JAX_PLATFORMS (this image's axon tunnel does)
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            if len(cpus) >= n_devices:
+                devices = cpus
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
