@@ -12,7 +12,8 @@ order of 1e6 primary rays/s forward-only. We use 1.0e6 rays/s as that
 nominal anchor; our metric is the strictly harder forward+backward.
 
 Env overrides: BENCH_SCENE (path), BENCH_W/BENCH_H, BENCH_MODE
-(fwd | fwdbwd), BENCH_REPS.
+(fwd | fwdbwd), BENCH_BACKEND (pallas | jnp; fwd defaults to the Pallas
+kernel, fwdbwd to the differentiable jnp path), BENCH_REPS.
 """
 
 import json
@@ -45,11 +46,20 @@ def main():
     structure, params = scene.structure, scene.params
     cfg = RenderConfig()
 
+    backend = os.environ.get(
+        "BENCH_BACKEND", "pallas" if mode == "fwd" else "jnp"
+    )
+
     # Outputs are reduced to scalars ON DEVICE so the timing measures the
     # render/backward computation, not the 24MB image transfer through the
     # axon tunnel. XLA still executes the full pipeline to produce the
     # reductions.
-    if mode == "fwd":
+    if mode == "fwd" and backend == "pallas":
+        from loltracer_tpu.render.pallas_renderer import make_pallas_renderer
+
+        r = make_pallas_renderer(structure, height, width, cfg)
+        fn = jax.jit(lambda p: jnp.sum(r(p)))
+    elif mode == "fwd":
         fn = jax.jit(
             lambda p: jnp.sum(render_image(structure, p, height, width, cfg))
         )
@@ -88,7 +98,7 @@ def main():
     rays_per_s = rays / best
 
     result = {
-        "metric": f"rays/s/chip {mode} {os.path.basename(scene_path)} "
+        "metric": f"rays/s/chip {mode}/{backend} {os.path.basename(scene_path)} "
         f"{width}x{height}",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",

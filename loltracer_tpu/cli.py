@@ -88,6 +88,12 @@ def cmd_render(args):
 
         scene.params = params_astype(scene.params, np.float64)
         img = render_golden(scene, w, h, cfg)
+    elif args.backend == "pallas":
+        from loltracer_tpu.render.pallas_renderer import make_pallas_renderer
+
+        img = np.asarray(
+            make_pallas_renderer(scene.structure, h, w, cfg)(scene.params)
+        )
     else:
         from loltracer_tpu.render.jnp_renderer import make_renderer
 
@@ -189,7 +195,9 @@ def main(argv=None):
     p = sub.add_parser("render", help="render a scene to PNG/NPY")
     p.add_argument("scene")
     p.add_argument("-o", "--output")
-    p.add_argument("--backend", choices=["jnp", "golden"], default="jnp")
+    p.add_argument(
+        "--backend", choices=["jnp", "pallas", "golden"], default="jnp"
+    )
     _add_render_flags(p)
     p.set_defaults(fn=cmd_render)
 
