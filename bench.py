@@ -42,7 +42,13 @@ def main():
     mode = os.environ.get("BENCH_MODE", "fwdbwd")
     reps = int(os.environ.get("BENCH_REPS", 5))
 
-    scene = build_scene(parse_scene_file(scene_path))
+    if scene_path.startswith("instanced:"):
+        # procedural 10k+ primitive config, e.g. BENCH_SCENE=instanced:10000
+        from loltracer_tpu.scenes import instanced_spheres
+
+        scene = instanced_spheres(n=int(scene_path.split(":")[1]))
+    else:
+        scene = build_scene(parse_scene_file(scene_path))
     structure, params = scene.structure, scene.params
     cfg = RenderConfig()
 
@@ -54,19 +60,31 @@ def main():
     # render/backward computation, not the 24MB image transfer through the
     # axon tunnel. XLA still executes the full pipeline to produce the
     # reductions.
+    if structure.instanced:
+        # banded rendering bounds the [pixels, object_block] temporaries
+        from loltracer_tpu.render.jnp_renderer import render_image_banded
+
+        backend = "jnp-banded"
+
+        def _render(p):
+            return render_image_banded(structure, p, height, width, cfg)
+
+    else:
+
+        def _render(p):
+            return render_image(structure, p, height, width, cfg)
+
     if mode == "fwd" and backend == "pallas":
         from loltracer_tpu.render.pallas_renderer import make_pallas_renderer
 
         r = make_pallas_renderer(structure, height, width, cfg)
         fn = jax.jit(lambda p: jnp.sum(r(p)))
     elif mode == "fwd":
-        fn = jax.jit(
-            lambda p: jnp.sum(render_image(structure, p, height, width, cfg))
-        )
+        fn = jax.jit(lambda p: jnp.sum(_render(p)))
     else:
 
         def loss(p):
-            img = render_image(structure, p, height, width, cfg)
+            img = _render(p)
             return jnp.mean(img * img)
 
         def both(p):

@@ -344,6 +344,15 @@ def _scene_sdf_vec(scene: Scene, p: np.ndarray):
     first minimum, matching naive_renderer.c:39)."""
     params = scene.params
 
+    if scene.structure.instanced:
+        # instanced scenes: all spheres (SoA order) then planes
+        d = p[..., None, :] - params.sphere_point
+        dist = np.sqrt(np.sum(d * d, axis=-1)) - params.sphere_radius
+        if scene.structure.num_planes:
+            dpl = p[..., 1:2] - params.plane_y
+            dist = np.concatenate([dist, dpl], axis=-1)
+        return np.min(dist, axis=-1), np.argmin(dist, axis=-1) + 1
+
     def node_dist(node: Node):
         kind = node[0]
         if kind == "sphere":

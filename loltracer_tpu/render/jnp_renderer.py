@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
-from loltracer_tpu.render.camera import camera_rays
+from loltracer_tpu.render.camera import camera_rays, camera_rays_for_rows
 from loltracer_tpu.render.march import intersect_aa
 from loltracer_tpu.render.sdf import make_scene_sdf, make_scene_sdf_with_id
 from loltracer_tpu.render.shading import get_normal, shade
@@ -81,6 +81,35 @@ def render_image(
     ro, rd = camera_rays(params, height, width, cfg, dtype=dtype)
     pr = pixel_radius(params, height, cfg) if cfg.antialias else None
     return render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
+
+
+def render_image_banded(
+    structure: SceneStructure,
+    params: SceneParams,
+    height: int,
+    width: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    band_rows: int = 64,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Render in sequential row bands via lax.map, bounding peak memory to
+    one band's intermediates. Required for large images with instanced
+    scenes, where each SDF evaluation materializes [pixels, object_block]
+    temporaries (SURVEY.md §5.7); also caps backward-scan residual memory
+    for full-image gradients."""
+    if height % band_rows:
+        band_rows = next(
+            b for b in range(min(band_rows, height), 0, -1) if height % b == 0
+        )
+    rows = jnp.arange(height, dtype=jnp.int32).reshape(-1, band_rows)
+    pr = pixel_radius(params, height, cfg) if cfg.antialias else None
+
+    def band(rs):
+        ro, rd = camera_rays_for_rows(params, rs, height, width, cfg, dtype)
+        return render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
+
+    img = jax.lax.map(band, rows)  # [nbands, band_rows, W, 3]
+    return img.reshape(height, width, 3)
 
 
 def make_renderer(

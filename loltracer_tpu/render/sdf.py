@@ -63,6 +63,9 @@ def make_scene_sdf(
     structure: SceneStructure,
 ) -> Callable:
     """Build `sdf(params, p[..., 3]) -> dist[...]` for this structure."""
+    if structure.instanced:
+        inner = _make_instanced_sdf(structure)
+        return lambda params, p: inner(params, p)[0]
 
     def sdf(params: SceneParams, p):
         dists = _object_dists(structure, params, p)
@@ -76,6 +79,8 @@ def make_scene_sdf_with_id(structure: SceneStructure) -> Callable:
 
     Ids are 1-based file-order object positions; jnp.argmin keeps the first
     minimum, i.e. the naive backend's first-wins tie rule."""
+    if structure.instanced:
+        return _make_instanced_sdf(structure)
 
     def sdf(params: SceneParams, p):
         dists = jnp.stack(_object_dists(structure, params, p), axis=-1)
@@ -83,6 +88,71 @@ def make_scene_sdf_with_id(structure: SceneStructure) -> Callable:
             jnp.min(dists, axis=-1),
             jnp.argmin(dists, axis=-1).astype(jnp.int32) + 1,
         )
+
+    return sdf
+
+
+def _make_instanced_sdf(structure: SceneStructure) -> Callable:
+    """Instanced (10k+ primitive) scene SDF: a running min+argmin over
+    fixed-size blocks of the sphere SoA via lax.fori_loop — BVH-free batched
+    evaluation whose peak memory is [...pixels, block] instead of
+    [...pixels, N]. Planes (few) are merged afterwards. First-wins on ties
+    in SoA id order, matching the unrolled path's rule."""
+    block = structure.instanced_block
+    ns = structure.num_spheres
+
+    def sdf(params: SceneParams, p):
+        import jax
+
+        nblocks = -(-ns // block) if ns else 0
+        padded = nblocks * block
+        batch = p.shape[:-1]
+
+        if ns:
+            pad = padded - ns
+            pos = jnp.concatenate(
+                [params.sphere_point,
+                 jnp.zeros((pad, 3), params.sphere_point.dtype)], axis=0
+            )
+            rad = jnp.concatenate(
+                [params.sphere_radius,
+                 jnp.full((pad,), -1e30, params.sphere_radius.dtype)], axis=0
+            )
+
+            def body(i, carry):
+                dmin, imin = carry
+                bpos = jax.lax.dynamic_slice(
+                    pos, (i * block, 0), (block, 3)
+                )
+                brad = jax.lax.dynamic_slice(rad, (i * block,), (block,))
+                d = p[..., None, :] - bpos
+                dist = jnp.sqrt(jnp.sum(d * d, axis=-1)) - brad
+                bd = jnp.min(dist, axis=-1)
+                bi = jnp.argmin(dist, axis=-1).astype(jnp.int32) + i * block
+                closer = bd < dmin
+                return (
+                    jnp.where(closer, bd, dmin),
+                    jnp.where(closer, bi + 1, imin),
+                )
+
+            init = (
+                jnp.full(batch, jnp.inf, p.dtype),
+                jnp.zeros(batch, jnp.int32),
+            )
+            dmin, imin = jax.lax.fori_loop(0, nblocks, body, init)
+        else:
+            dmin = jnp.full(batch, jnp.inf, p.dtype)
+            imin = jnp.zeros(batch, jnp.int32)
+
+        if structure.num_planes:
+            dpl = _plane_dists(params, p)  # [..., Np]
+            bd = jnp.min(dpl, axis=-1)
+            bi = jnp.argmin(dpl, axis=-1).astype(jnp.int32) + ns + 1
+            closer = bd < dmin
+            dmin = jnp.where(closer, bd, dmin)
+            imin = jnp.where(closer, bi, imin)
+
+        return dmin, imin
 
     return sdf
 

@@ -63,9 +63,19 @@ class SceneStructure:
     # material_ids[id] = material index for hit id; material_ids[0] = 0, the
     # background material (naive_renderer.c:102-112).
     material_ids: Tuple[int, ...]
+    # Instanced mode (the 10k+ primitive configuration): `objects` is empty
+    # and the scene is every sphere (ids 1..num_spheres, SoA order) followed
+    # by every plane (ids num_spheres+1..). Evaluation is batched over the
+    # object axis in fixed-size blocks (SURVEY.md §5.7 object-axis
+    # chunking) instead of unrolling per-object expressions.
+    instanced: bool = False
+    # object-axis block size for instanced evaluation (memory/trace knob)
+    instanced_block: int = 512
 
     @property
     def num_objects(self) -> int:
+        if self.instanced:
+            return self.num_spheres + self.num_planes
         return len(self.objects)
 
 
