@@ -1,0 +1,116 @@
+"""Weak-scaling benchmark: rays/s at 1..N devices with fixed per-device work.
+
+Real multi-chip ICI measurements need a multi-chip slice (this environment
+exposes one TPU chip); the harness runs on whatever devices exist and falls
+back to faked CPU devices (--xla_force_host_platform_device_count) to
+validate the scaling *logic*. On a pod slice, run under
+`jax.distributed.initialize()` and the same code measures the real thing —
+forward needs zero communication (each device owns its rows end-to-end) and
+backward all-reduces only the KB-sized scene-gradient pytree, so weak
+scaling should sit near 100% until the psum latency shows up.
+
+Prints one JSON line per device count:
+  {"devices": n, "rays_per_s": r, "efficiency": e}
+"""
+
+import json
+import os
+import sys
+import time
+
+ROWS_PER_DEVICE = int(os.environ.get("SCALE_ROWS", 128))
+WIDTH = int(os.environ.get("SCALE_W", 768))
+MODE = os.environ.get("SCALE_MODE", "fwdbwd")
+SCENE = os.environ.get("SCALE_SCENE", "examples/scene4.lol")
+
+
+def main():
+    if "cpu" in os.environ.get("SCALE_PLATFORM", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from loltracer_tpu.utils.cache import enable_cache
+
+    enable_cache()
+    if "cpu" in os.environ.get("SCALE_PLATFORM", ""):
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        devices = jax.devices("cpu")
+    else:
+        devices = jax.devices()
+        if len(devices) == 1:
+            try:
+                cpus = jax.devices("cpu")
+                if len(cpus) > 1:
+                    devices = cpus
+            except RuntimeError:
+                pass
+
+    from loltracer_tpu.lol import parse_scene_file
+    from loltracer_tpu.opt import masked_optimizer
+    from loltracer_tpu.opt.inverse import DEFAULT_TRAINABLE
+    from loltracer_tpu.parallel import make_mesh, make_sharded_train_step
+    from loltracer_tpu.parallel.sharded import make_sharded_renderer
+    from loltracer_tpu.scene import build_scene
+
+    scene = build_scene(parse_scene_file(SCENE))
+
+    counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    base = None
+    for n in counts:
+        mesh = make_mesh(devices, n_devices=n)
+        height = ROWS_PER_DEVICE * n  # weak scaling: fixed rows per device
+        rays = height * WIDTH
+
+        if MODE == "fwd":
+            fn = make_sharded_renderer(scene.structure, mesh, height, WIDTH)
+            run = lambda: np.asarray(fn(scene.params)).sum()
+        else:
+            optimizer = masked_optimizer(
+                optax.adam(1e-3), scene.params, DEFAULT_TRAINABLE
+            )
+            step = make_sharded_train_step(
+                scene.structure, mesh, height, WIDTH, optimizer
+            )
+            renderer = make_sharded_renderer(
+                scene.structure, mesh, height, WIDTH
+            )
+            target = renderer(scene.params)
+            opt_state = optimizer.init(scene.params)
+
+            def run():
+                p, o, loss = step(scene.params, opt_state, target)
+                return float(loss)
+
+        run()  # compile + warmup
+        times = []
+        for _ in range(int(os.environ.get("SCALE_REPS", 3))):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        rps = rays / best
+        if base is None:
+            base = rps  # rays/s at 1 device
+        eff = rps / (base * n)
+        print(
+            json.dumps(
+                {
+                    "devices": n,
+                    "height": height,
+                    "rays_per_s": round(rps, 1),
+                    "efficiency": round(eff, 3),
+                    "mode": MODE,
+                }
+            )
+        )
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

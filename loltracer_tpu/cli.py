@@ -172,6 +172,16 @@ def cmd_fit(args):
         print(f"fitted render -> {args.output}")
 
 
+def cmd_stats(args):
+    from loltracer_tpu.utils.profiling import march_step_stats
+
+    w, h = _parse_size(args.size)
+    cfg = _build_cfg(args)
+    scene = _load_scene(args.scene)
+    stats = march_step_stats(scene.structure, scene.params, h, w, cfg)
+    print(json.dumps(stats, indent=2))
+
+
 def cmd_bench(args):
     import os
 
@@ -220,6 +230,13 @@ def main(argv=None):
     p.add_argument("-o", "--output", help="write fitted render")
     _add_render_flags(p)
     p.set_defaults(fn=cmd_fit, aa=True)
+
+    p = sub.add_parser(
+        "stats", help="march-step histogram / tile occupancy diagnostics"
+    )
+    p.add_argument("scene")
+    _add_render_flags(p)
+    p.set_defaults(fn=cmd_stats, size="320x240")
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("scene")
