@@ -53,6 +53,15 @@ class RenderConfig:
     tile_h: int = 8
     tile_w: int = 128
 
+    # March backend for the differentiable render path's (stop-gradient'd)
+    # sphere-trace: "auto" uses the fused Pallas kernel on TPU and the jnp
+    # while_loop elsewhere; "jnp" / "pallas" force one;
+    # "pallas-interpret" runs the kernel in the Pallas interpreter (CPU
+    # equivalence tests). Gradients are identical across backends — the
+    # march result is frozen and re-attached via the IFT either way
+    # (render/march.py).
+    march_backend: str = "auto"
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

@@ -41,6 +41,42 @@ def gamma_encode(color, gamma: float):
     return jnp.where(positive, safe**gamma, 0.0)
 
 
+def _select_march(structure: SceneStructure, ro, rd, cfg: RenderConfig):
+    """Pick the march implementation for this call: the fused Pallas kernel
+    when it applies (TPU or explicitly requested, compiled scene, [H, W, 3]
+    f32 ray grid from a single origin), else None -> the jnp while_loop."""
+    backend = cfg.march_backend
+    if backend == "auto":
+        # where computation actually runs: an explicitly pinned default
+        # device wins over the platform priority list (the axon TPU-tunnel
+        # plugin registers itself even under JAX_PLATFORMS=cpu, so
+        # default_backend() alone would claim "tpu" in CPU-pinned tests)
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        backend = "pallas" if platform == "tpu" else "jnp"
+    if backend == "jnp":
+        return None
+    applicable = (
+        not structure.instanced
+        and rd.ndim == 3
+        and rd.shape[-1] == 3
+        and ro.ndim == 1
+        and rd.dtype == jnp.float32
+    )
+    if not applicable:
+        if backend == "pallas-interpret":
+            raise ValueError(
+                "march_backend=pallas-interpret requires a compiled scene "
+                f"and an [H, W, 3] f32 ray grid; got rd {rd.shape} {rd.dtype}"
+            )
+        return None
+    from loltracer_tpu.render.pallas_march import make_pallas_march
+
+    return make_pallas_march(
+        structure, cfg, interpret=(backend == "pallas-interpret")
+    )
+
+
 def render_rays(
     structure: SceneStructure,
     params: SceneParams,
@@ -56,8 +92,10 @@ def render_rays(
     sdf_id = make_scene_sdf_with_id(structure)
 
     use_aa = cfg.antialias and pixel_rad is not None
+    march_fn = _select_march(structure, ro, rd, cfg)
     t, obj_id, alpha, hit = intersect_aa(
-        sdf, sdf_id, params, ro, rd, cfg, pixel_rad if use_aa else None
+        sdf, sdf_id, params, ro, rd, cfg, pixel_rad if use_aa else None,
+        march_fn=march_fn,
     )
     p = ro + t[..., None] * rd
     n = get_normal(sdf, params, p, t, cfg)

@@ -108,6 +108,7 @@ def intersect(
     ro,
     rd,
     cfg: RenderConfig,
+    march_fn: Callable = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable intersection: returns (t [...], id [...] int32).
 
@@ -117,7 +118,8 @@ def intersect(
     zeroed when t >= max_dist.
     """
     t, obj_id, _, _ = intersect_aa(
-        sdf, sdf_with_id, params, ro, rd, cfg, pixel_rad=None
+        sdf, sdf_with_id, params, ro, rd, cfg, pixel_rad=None,
+        march_fn=march_fn,
     )
     return t, obj_id
 
@@ -130,6 +132,7 @@ def intersect_aa(
     rd,
     cfg: RenderConfig,
     pixel_rad=None,
+    march_fn: Callable = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Differentiable intersection with optional soft coverage.
 
@@ -147,9 +150,20 @@ def intersect_aa(
       (coverage) term of the rendering gradient that pure interior/IFT
       gradients miss — without it, gradient descent on primitive positions
       follows a sawtooth landscape and diverges (see tests/test_aa.py).
+
+    `march_fn(params, ro, rd) -> MarchResult` optionally replaces the jnp
+    march for the stop-gradient'd value computation (e.g. the Pallas march
+    kernel, render/pallas_march.py) — gradient semantics are unchanged
+    because the march result is frozen either way; inputs are stop-gradient'd
+    too so AD never needs a JVP rule for the kernel call.
     """
     sg = lax.stop_gradient
-    res = jax.tree_util.tree_map(sg, march(sdf, params, ro, rd, cfg))
+    if march_fn is None:
+        res = jax.tree_util.tree_map(sg, march(sdf, params, ro, rd, cfg))
+    else:
+        res = jax.tree_util.tree_map(
+            sg, march_fn(sg(params), sg(ro), sg(rd))
+        )
     t0 = res.t
     hit = t0 < cfg.max_dist
 

@@ -1,0 +1,149 @@
+"""Pallas sphere-trace march kernel: the non-differentiable hot loop.
+
+The differentiable render path (render/march.py intersect_aa) stop-gradients
+the ENTIRE march result and re-attaches gradients via the implicit-function
+theorem at the frozen hit distance. That makes the march — up to 256 full
+scene-SDF evaluations per ray (naive_renderer.c:46-69) — a pure value
+computation, so it can run as a fused Pallas kernel with per-(8,128)-tile
+early exit without changing gradient semantics at all: sky/converged tiles
+stop after a few steps, whereas the whole-image `lax.while_loop` formulation
+runs every pixel until the globally worst ray finishes.
+
+Semantics match render/march.py `march` exactly per pixel (same update
+order, same done-freezing, same closest-approach tracking for the soft
+coverage AA), differing only in op scheduling (rsqrt-free; identical math).
+
+Lowering/config quirks shared with pallas_renderer.py: f32 done flags
+instead of i1 loop-carried vectors, concrete-layout zero inits (see
+pallas_scene.czero).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
+from loltracer_tpu.render.march import MarchResult
+from loltracer_tpu.render.pallas_scene import (
+    GEOM_FIELDS,
+    TILE_H,
+    TILE_W,
+    ScalarScene,
+    active_fields,
+    cdiv,
+    czero,
+)
+from loltracer_tpu.scene import SceneParams, SceneStructure
+
+
+def _march_kernel(structure, cfg, fields, ro_ref, *rest):
+    geom_refs = dict(zip(fields, rest[:-2]))
+    rd_ref, out_ref = rest[-2], rest[-1]
+    scn = ScalarScene(structure, geom_refs)
+
+    ro_x, ro_y, ro_z = ro_ref[0], ro_ref[1], ro_ref[2]
+    rdx = rd_ref[0, :, :]
+    rdy = rd_ref[1, :, :]
+    rdz = rd_ref[2, :, :]
+    zeros = czero(rdx) + czero(rdy) + czero(rdz)
+    inf = zeros + jnp.inf
+
+    def cond(c):
+        step, _, _, _, _, done_f = c
+        return (step < cfg.max_steps) & (jnp.min(done_f) < 0.5)
+
+    def body(c):
+        step, t, t_query, s_min, t_close, done_f = c
+        done = done_f > 0.5
+        d = scn.dist_only(ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz)
+        new_t = t + d
+        # angular closest approach min_i d_i/t_i (march.py:83-92)
+        track = (~done) & (t > 0.0)
+        s = d / jnp.where(t > 0.0, t, 1.0)
+        better = track & (s < s_min)
+        s_min = jnp.where(better, s, s_min)
+        t_close = jnp.where(better, t, t_close)
+        t_query = jnp.where(done, t_query, t)
+        t = jnp.where(done, t, new_t)
+        now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
+        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+        return step + 1, t, t_query, s_min, t_close, done_f
+
+    _, t, t_query, s_min, t_close, _ = lax.while_loop(
+        cond, body, (0, zeros, zeros, inf, zeros, zeros)
+    )
+    out_ref[0, :, :] = t
+    out_ref[1, :, :] = t_query
+    out_ref[2, :, :] = s_min
+    out_ref[3, :, :] = t_close
+
+
+def make_pallas_march(
+    structure: SceneStructure,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    interpret: bool = False,
+) -> Callable:
+    """Build `march_fn(params, ro [3], rd [H, W, 3]) -> MarchResult` running
+    the march as a Pallas kernel (interpret=True for CPU tests). Inputs are
+    treated as constants (stop-gradient applied by the caller); outputs carry
+    no gradient."""
+    if structure.instanced:
+        raise ValueError("pallas march supports compiled (non-instanced) scenes")
+    fields = active_fields(structure, GEOM_FIELDS)
+    kernel = functools.partial(_march_kernel, structure, cfg, fields)
+
+    def march_fn(params: SceneParams, ro, rd) -> MarchResult:
+        height, width = rd.shape[0], rd.shape[1]
+        gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
+        ph, pw = gh * TILE_H, gw * TILE_W
+        rdp = jnp.moveaxis(rd.astype(jnp.float32), -1, 0)  # (3, H, W)
+        if (ph, pw) != (height, width):
+            # edge-replicated rays: padded lanes march real geometry, so the
+            # tile early-exit behaves like the neighboring real rays
+            rdp = jnp.pad(
+                rdp, ((0, 0), (0, ph - height), (0, pw - width)), mode="edge"
+            )
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # ro
+        for _ in fields:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        in_specs.append(
+            pl.BlockSpec(
+                (3, TILE_H, TILE_W),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid=(gh, gw),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (4, TILE_H, TILE_W),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((4, ph, pw), jnp.float32),
+            interpret=interpret,
+        )
+
+        args = [jnp.asarray(ro, jnp.float32)]
+        for f in fields:
+            args.append(jnp.asarray(getattr(params, f)).astype(jnp.float32))
+        args.append(rdp)
+        out = call(*args)
+        return MarchResult(
+            t=out[0, :height, :width],
+            t_query=out[1, :height, :width],
+            s_min=out[2, :height, :width],
+            t_close=out[3, :height, :width],
+        )
+
+    return march_fn

@@ -38,174 +38,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
+from loltracer_tpu.render.pallas_scene import (
+    TILE_H,
+    TILE_W,
+    ScalarScene as _ScalarScene,
+    active_fields as _active_fields,
+    cdiv as _cdiv,
+    czero as _czero,
+)
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
-TILE_H = 8
-TILE_W = 128
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-# --- component-wise scene SDF, unrolled per structure ----------------------
-
-
-def _czero(v):
-    """A zeros-tile with a CONCRETE (non-splat) Mosaic vector layout.
-    jnp.zeros/x*0.0 constant-fold to replicated splats, which Mosaic cannot
-    relayout back from concrete inside while-loop carries ("Invalid
-    relayout ... replicated in destination but not in source"); min(v*v, 0)
-    is exactly 0.0 but not foldable."""
-    return jnp.minimum(v * v, 0.0)
-
-
-def _smin(a, b, k):
-    """Polynomial smooth-min on (8,128) tiles; k is a traced scalar.
-    k == 0 never occurs in valid scenes (parser default 0 is projected by
-    opt; kernels assume k != 0 like the reference's JIT does)."""
-    h = jnp.clip(0.5 + 0.5 * (b - a) / k, 0.0, 1.0)
-    return (b + (a - b) * h) - k * h * (1.0 - h)
-
-
-class _ScalarScene:
-    """Reads every scene number out of the kernel's SMEM refs once, exposing
-    them as plain traced scalars for the unrolled SDF/shading code."""
-
-    def __init__(self, structure: SceneStructure, refs: dict):
-        s = structure
-        self.structure = s
-        self.sphere = [
-            (
-                refs["sphere_point"][i, 0],
-                refs["sphere_point"][i, 1],
-                refs["sphere_point"][i, 2],
-                refs["sphere_radius"][i],
-            )
-            for i in range(s.num_spheres)
-        ]
-        self.box = [
-            (
-                refs["box_point"][i, 0],
-                refs["box_point"][i, 1],
-                refs["box_point"][i, 2],
-                refs["box_half"][i, 0],
-                refs["box_half"][i, 1],
-                refs["box_half"][i, 2],
-                refs["box_radius"][i],
-            )
-            for i in range(s.num_boxes)
-        ]
-        self.plane = [refs["plane_y"][i] for i in range(s.num_planes)]
-        self.smooth_k = [refs["smooth_k"][i] for i in range(s.num_unions)]
-        self.materials = [
-            (
-                refs["mat_shininess"][m],
-                tuple(refs["mat_diffuse"][m, c] for c in range(3)),
-                tuple(refs["mat_specular"][m, c] for c in range(3)),
-                tuple(refs["mat_ambient"][m, c] for c in range(3)),
-            )
-            for m in range(s.num_materials)
-        ]
-        self.ambient = tuple(refs["ambient_color"][c] for c in range(3))
-        self.lights = [
-            (
-                tuple(refs["light_point"][l, c] for c in range(3)),
-                tuple(refs["light_diffuse"][l, c] for c in range(3)),
-                tuple(refs["light_specular"][l, c] for c in range(3)),
-            )
-            for l in range(s.num_lights)
-        ]
-
-    def node_dist(self, node, px, py, pz):
-        kind = node[0]
-        if kind == "sphere":
-            cx, cy, cz, r = self.sphere[node[1]]
-            dx, dy, dz = px - cx, py - cy, pz - cz
-            return jnp.sqrt(dx * dx + dy * dy + dz * dz) - r
-        if kind == "box":
-            cx, cy, cz, bx, by, bz, r = self.box[node[1]]
-            qx = jnp.abs(px - cx) - bx
-            qy = jnp.abs(py - cy) - by
-            qz = jnp.abs(pz - cz) - bz
-            ox = jnp.maximum(qx, 0.0)
-            oy = jnp.maximum(qy, 0.0)
-            oz = jnp.maximum(qz, 0.0)
-            outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
-            inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
-            return outside + inside - r
-        if kind == "plane":
-            return py - self.plane[node[1]]
-        if kind == "smin":
-            _, k, a, b = node
-            return _smin(
-                self.node_dist(a, px, py, pz),
-                self.node_dist(b, px, py, pz),
-                self.smooth_k[k],
-            )
-        raise ValueError(node)
-
-    def sdf(self, px, py, pz):
-        """(dist, mat_id) per lane; first-wins strict < (naive tie rule).
-        mat_id is resolved during the reduction (no gather); miss lanes
-        keep material 0 via the INF initialization. Inits derive from px so
-        Mosaic sees concrete (non-splat) vector layouts."""
-        s = self.structure
-        dist = _czero(px) + jnp.inf
-        mat = _czero(px).astype(jnp.int32)
-        for i, node in enumerate(s.objects):
-            d = self.node_dist(node, px, py, pz)
-            closer = d < dist
-            dist = jnp.where(closer, d, dist)
-            mat = jnp.where(closer, s.material_ids[i + 1], mat)
-        return dist, mat
-
-    def dist_only(self, px, py, pz):
-        dist = _czero(px) + jnp.inf
-        for node in self.structure.objects:
-            dist = jnp.minimum(dist, self.node_dist(node, px, py, pz))
-        return dist
-
-
-# --- the kernel ------------------------------------------------------------
-
-_PARAM_FIELDS = [
-    "sphere_point",
-    "sphere_radius",
-    "box_point",
-    "box_half",
-    "box_radius",
-    "plane_y",
-    "smooth_k",
-    "mat_shininess",
-    "mat_diffuse",
-    "mat_specular",
-    "mat_ambient",
-    "ambient_color",
-    "light_point",
-    "light_diffuse",
-    "light_specular",
-]
-
 _NORMAL_KS = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
-
-
-def _active_fields(structure: SceneStructure) -> List[str]:
-    """Param fields with nonzero size for this structure (zero-size SMEM
-    arrays are not passed into the kernel)."""
-    s = structure
-    skip = set()
-    if not s.num_spheres:
-        skip |= {"sphere_point", "sphere_radius"}
-    if not s.num_boxes:
-        skip |= {"box_point", "box_half", "box_radius"}
-    if not s.num_planes:
-        skip.add("plane_y")
-    if not s.num_unions:
-        skip.add("smooth_k")
-    if not s.num_lights:
-        skip |= {"light_point", "light_diffuse", "light_specular"}
-    return [f for f in _PARAM_FIELDS if f not in skip]
 
 
 def _render_kernel(structure, cfg, height, width, cam_ref, *refs_and_out):
