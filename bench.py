@@ -41,6 +41,12 @@ def main():
     height = int(os.environ.get("BENCH_H", 1080))
     mode = os.environ.get("BENCH_MODE", "fwdbwd")
     reps = int(os.environ.get("BENCH_REPS", 5))
+    # Shadow gradient estimator for fwdbwd (config.py shadow_grad): the
+    # envelope estimator is the production inverse-rendering path — forward
+    # values are bitwise identical to "exact"; the backward re-attaches
+    # through one SDF eval at the frozen penumbra argmin instead of
+    # backpropagating the 128-step shadow scan.
+    shadow_grad = os.environ.get("BENCH_SHADOW_GRAD", "envelope")
 
     if scene_path.startswith("instanced:"):
         # procedural 10k+ primitive config, e.g. BENCH_SCENE=instanced:10000
@@ -50,7 +56,7 @@ def main():
     else:
         scene = build_scene(parse_scene_file(scene_path))
     structure, params = scene.structure, scene.params
-    cfg = RenderConfig()
+    cfg = RenderConfig(shadow_grad=shadow_grad if mode == "fwdbwd" else "exact")
 
     backend = os.environ.get(
         "BENCH_BACKEND", "pallas" if mode == "fwd" else "jnp"

@@ -62,6 +62,24 @@ class RenderConfig:
     # (render/march.py).
     march_backend: str = "auto"
 
+    # Soft-shadow gradient estimator:
+    #   "exact"    — reverse-mode AD through the full rematerialized
+    #                128-step shadow scan: the exact gradient of the
+    #                discretized forward computation (trajectory terms
+    #                included). Backward cost: O(shadow_steps) SDF
+    #                evaluations per light per pixel.
+    #   "envelope" — the shadow march runs frozen (stop-gradient, Pallas
+    #                kernel on TPU) recording the argmin step t*; the
+    #                gradient is re-attached via ONE differentiable SDF
+    #                evaluation at t* per light. By Danskin's theorem this
+    #                is the exact gradient of the idealized penumbra
+    #                min(1, min_t w·f(ro+t·rd)/t) — the same
+    #                frozen-fixed-point principle as the march's IFT
+    #                gradient (render/march.py). Forward values are
+    #                bitwise identical to "exact"; backward cost drops
+    #                from O(steps) to O(1) SDF evals.
+    shadow_grad: str = "exact"
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

@@ -77,6 +77,35 @@ def _select_march(structure: SceneStructure, ro, rd, cfg: RenderConfig):
     )
 
 
+def _select_shadow_march(structure: SceneStructure, rd, cfg: RenderConfig):
+    """Pick the frozen shadow-march implementation for envelope-gradient
+    shadows: the Pallas shadow kernel under the same conditions as
+    _select_march (TPU/explicit backend, compiled scene, [H, W] f32 grid),
+    else None -> the jnp scan inside shading.soft_shadow."""
+    if cfg.shadow_grad != "envelope":
+        return None
+    backend = cfg.march_backend
+    if backend == "auto":
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        backend = "pallas" if platform == "tpu" else "jnp"
+    if backend == "jnp":
+        return None
+    applicable = (
+        not structure.instanced
+        and rd.ndim == 3
+        and rd.shape[-1] == 3
+        and rd.dtype == jnp.float32
+    )
+    if not applicable:
+        return None
+    from loltracer_tpu.render.pallas_march import make_pallas_shadow_march
+
+    return make_pallas_shadow_march(
+        structure, cfg, interpret=(backend == "pallas-interpret")
+    )
+
+
 def render_rays(
     structure: SceneStructure,
     params: SceneParams,
@@ -93,13 +122,17 @@ def render_rays(
 
     use_aa = cfg.antialias and pixel_rad is not None
     march_fn = _select_march(structure, ro, rd, cfg)
+    shadow_march_fn = _select_shadow_march(structure, rd, cfg)
     t, obj_id, alpha, hit = intersect_aa(
         sdf, sdf_id, params, ro, rd, cfg, pixel_rad if use_aa else None,
         march_fn=march_fn,
     )
     p = ro + t[..., None] * rd
     n = get_normal(sdf, params, p, t, cfg)
-    color = shade(structure, params, sdf, p, n, obj_id, cfg)
+    color = shade(
+        structure, params, sdf, p, n, obj_id, cfg,
+        shadow_march_fn=shadow_march_fn,
+    )
     if use_aa:
         # blend toward the background (material 0 ambient) in linear space
         bg = jnp.clip(params.ambient_color * params.mat_ambient[0], 0.0, 1.0)

@@ -85,6 +85,113 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
     out_ref[3, :, :] = t_close
 
 
+def _shadow_kernel(structure, cfg, fields, *refs):
+    geom_refs = dict(zip(fields, refs[: len(fields)]))
+    ro_ref, rd_ref, maxd_ref, out_ref = refs[len(fields):]
+    scn = ScalarScene(structure, geom_refs)
+
+    rox, roy, roz = ro_ref[0, :, :], ro_ref[1, :, :], ro_ref[2, :, :]
+    rdx, rdy, rdz = rd_ref[0, :, :], rd_ref[1, :, :], rd_ref[2, :, :]
+    max_dist = maxd_ref[0, :, :]
+    zeros = czero(rdx) + czero(rdy) + czero(rdz) + czero(rox)
+    inf = zeros + jnp.inf
+
+    def cond(c):
+        step, _, _, _, done_f = c
+        return (step < cfg.shadow_steps) & (jnp.min(done_f) < 0.5)
+
+    def body(c):
+        step, res, t, t_star, done_f = c
+        done = done_f > 0.5
+        d = scn.dist_only(rox + t * rdx, roy + t * rdy, roz + t * rdz)
+        live = t > 0.0
+        safe_t = jnp.where(live, t, 1.0)
+        # first-iteration t == 0 semantics of shading.py soft_shadow:
+        # w*d/0 -> +/-inf by the sign of d (naive_renderer.c:83)
+        val = jnp.where(
+            live, cfg.shadow_w * d / safe_t, jnp.where(d < 0.0, -inf, inf)
+        )
+        better = (~done) & (val < res)
+        new_res = jnp.where(done, res, jnp.minimum(res, val))
+        t_star = jnp.where(better, t, t_star)
+        new_t = jnp.where(done, t, t + d)
+        now_done = (new_res < -1.0) | (new_t > max_dist)
+        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+        return step + 1, new_res, new_t, t_star, done_f
+
+    _, res, _, t_star, _ = lax.while_loop(
+        cond, body, (0, zeros + 1.0, zeros, zeros, zeros)
+    )
+    out_ref[0, :, :] = res
+    out_ref[1, :, :] = t_star
+
+
+def make_pallas_shadow_march(
+    structure: SceneStructure,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    interpret: bool = False,
+) -> Callable:
+    """Build `shadow_fn(params, ro [H,W,3], rd [H,W,3], max_dist [H,W]) ->
+    (res [H,W], t_star [H,W])`: the frozen soft-shadow march for the
+    envelope gradient estimator (shading.py soft_shadow, cfg.shadow_grad
+    == "envelope"). Per-pixel semantics match the jnp scan exactly; tiles
+    early-exit when every lane is done (shadow rays from lit/sky regions
+    terminate in a handful of steps). Value-only: the caller stop-gradients
+    inputs and outputs."""
+    if structure.instanced:
+        raise ValueError(
+            "pallas shadow march supports compiled (non-instanced) scenes"
+        )
+    fields = active_fields(structure, GEOM_FIELDS)
+    kernel = functools.partial(_shadow_kernel, structure, cfg, fields)
+
+    def shadow_fn(params: SceneParams, ro, rd, max_dist):
+        height, width = rd.shape[0], rd.shape[1]
+        gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
+        ph, pw = gh * TILE_H, gw * TILE_W
+        rop = jnp.moveaxis(ro.astype(jnp.float32), -1, 0)  # (3, H, W)
+        rdp = jnp.moveaxis(rd.astype(jnp.float32), -1, 0)
+        mdp = max_dist.astype(jnp.float32)[None]  # (1, H, W)
+        if (ph, pw) != (height, width):
+            pad = ((0, 0), (0, ph - height), (0, pw - width))
+            rop = jnp.pad(rop, pad, mode="edge")
+            rdp = jnp.pad(rdp, pad, mode="edge")
+            mdp = jnp.pad(mdp, pad, mode="edge")
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM) for _ in fields
+        ]
+        for ch in (3, 3, 1):
+            in_specs.append(
+                pl.BlockSpec(
+                    (ch, TILE_H, TILE_W),
+                    lambda i, j: (0, i, j),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+        call = pl.pallas_call(
+            kernel,
+            grid=(gh, gw),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (2, TILE_H, TILE_W),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((2, ph, pw), jnp.float32),
+            interpret=interpret,
+        )
+
+        args = [
+            jnp.asarray(getattr(params, f)).astype(jnp.float32)
+            for f in fields
+        ]
+        out = call(*args, rop, rdp, mdp)
+        return out[0, :height, :width], out[1, :height, :width]
+
+    return shadow_fn
+
+
 def make_pallas_march(
     structure: SceneStructure,
     cfg: RenderConfig = DEFAULT_CONFIG,

@@ -38,17 +38,27 @@ def soft_shadow(
     rd,
     max_dist,
     cfg: RenderConfig,
+    shadow_march_fn: Callable = None,
 ):
     """softshadow(scene, ro, rd, 128, light_dist, 50) of
     naive_renderer.c:71-90. `ro` is the already-offset origin; `max_dist`
-    the per-ray distance to the light."""
+    the per-ray distance to the light.
+
+    Gradient estimator selected by cfg.shadow_grad (config.py):
+    "exact" backpropagates through the full rematerialized scan;
+    "envelope" freezes the scan (optionally replaced by the Pallas shadow
+    kernel via `shadow_march_fn(params, ro, rd, max_dist) -> (res, t*)`)
+    and re-attaches the gradient via one differentiable SDF evaluation at
+    the recorded argmin t* (Danskin's theorem on the penumbra envelope
+    min(1, min_t w·f(ro+t·rd)/t)). Forward values are identical either way.
+    """
     batch = jnp.broadcast_shapes(ro.shape[:-1], rd.shape[:-1], max_dist.shape)
     dtype = rd.dtype
     inf = jnp.asarray(jnp.inf, dtype)
 
     @jax.checkpoint
     def body(carry, _):
-        res, t, done = carry
+        res, t, t_star, done = carry
         p = ro + t[..., None] * rd
         d = sdf(params, p)
         safe_t = jnp.where(t > 0, t, 1.0)
@@ -58,17 +68,49 @@ def soft_shadow(
         val = jnp.where(
             t > 0, cfg.shadow_w * d / safe_t, jnp.where(d < 0, -inf, inf)
         )
+        better = ~done & (val < res)  # first-wins argmin of the running min
         new_res = jnp.where(done, res, jnp.minimum(res, val))
+        t_star = jnp.where(better, t, t_star)
         new_t = jnp.where(done, t, t + d)
         new_done = done | (new_res < -1) | (new_t > max_dist)
-        return (new_res, new_t, new_done), None
+        return (new_res, new_t, t_star, new_done), None
 
-    init = (
-        jnp.ones(batch, dtype),
-        jnp.zeros(batch, dtype),
-        jnp.zeros(batch, bool),
+    def scan_march(params_, ro_, rd_, max_dist_):
+        init = (
+            jnp.ones(batch, dtype),
+            jnp.zeros(batch, dtype),
+            jnp.zeros(batch, dtype),
+            jnp.zeros(batch, bool),
+        )
+        (res, _, t_star, _), _ = lax.scan(
+            body, init, None, length=cfg.shadow_steps
+        )
+        return res, t_star
+
+    if cfg.shadow_grad == "exact":
+        res, _ = scan_march(params, ro, rd, max_dist)
+        return jnp.maximum(res, 0.0)
+
+    if cfg.shadow_grad != "envelope":
+        raise ValueError(f"unknown shadow_grad {cfg.shadow_grad!r}")
+
+    sg = lax.stop_gradient
+    frozen = shadow_march_fn if shadow_march_fn is not None else scan_march
+    res0, t_star = jax.tree_util.tree_map(
+        sg, frozen(sg(params), sg(ro), sg(rd), sg(max_dist))
     )
-    (res, _, _), _ = lax.scan(body, init, None, length=cfg.shadow_steps)
+    # Re-attach: one differentiable eval of the envelope integrand at the
+    # frozen argmin. Gradients flow through params, ro and rd (the shadow
+    # origin/direction depend on the hit point and light position); t* is
+    # a stationary point of the idealized envelope so its own sensitivity
+    # vanishes. Only interior minima (0 < res < 1, t* > 0) carry gradient:
+    # res >= 1 is saturated lit, res <= 0 is clamped to hard shadow by the
+    # max below exactly as in exact mode.
+    valid = (t_star > 0) & (res0 > 0) & (res0 < 1)
+    safe_ts = jnp.where(t_star > 0, t_star, 1.0)
+    d_star = sdf(params, ro + t_star[..., None] * rd)
+    val = cfg.shadow_w * d_star / safe_ts
+    res = jnp.where(valid, res0 + (val - sg(val)), res0)
     return jnp.maximum(res, 0.0)
 
 
@@ -108,12 +150,14 @@ def shade(
     n,
     obj_id,
     cfg: RenderConfig,
+    shadow_march_fn: Callable = None,
 ):
     """Phong shading with per-light soft shadows (naive_renderer.c:127-175).
 
     p: hit points [..., 3]; n: unit normals [..., 3]; obj_id: [...] int32
     (0 = miss -> material 0, the background material). Returns clamped
-    linear RGB [..., 3].
+    linear RGB [..., 3]. `shadow_march_fn` optionally replaces the jnp
+    shadow scan for the frozen value pass in envelope mode (soft_shadow).
     """
     mat_ids = jnp.asarray(structure.material_ids, jnp.int32)
     mat = mat_ids[obj_id]
@@ -132,7 +176,10 @@ def shade(
         light_dir = _normalize(to_light)
 
         shadow_ro = p + light_dir * cfg.shadow_offset
-        shadow = soft_shadow(sdf, params, shadow_ro, light_dir, light_dist, cfg)
+        shadow = soft_shadow(
+            sdf, params, shadow_ro, light_dir, light_dist, cfg,
+            shadow_march_fn=shadow_march_fn,
+        )
 
         diffuse_incidence = jnp.clip(_dot(n, light_dir), 0.0, 1.0)
         total = total + (
