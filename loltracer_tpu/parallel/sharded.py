@@ -28,6 +28,21 @@ from loltracer_tpu.render.jnp_renderer import pixel_radius, render_rays
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
 
+def _resolve_backend(cfg: RenderConfig, mesh: Mesh) -> RenderConfig:
+    """Resolve march_backend="auto" against the mesh's ACTUAL devices.
+
+    The global default_backend() can disagree with where a shard_map runs:
+    this image's axon TPU plugin registers even under JAX_PLATFORMS=cpu, so
+    "auto" would pick the Pallas kernel while the mesh is built from faked
+    CPU devices (the driver's dryrun_multichip environment) and fail to
+    lower. The mesh knows the truth."""
+    if cfg.march_backend == "auto":
+        platform = mesh.devices.flat[0].platform
+        if platform != "tpu":
+            cfg = cfg.replace(march_backend="jnp")
+    return cfg
+
+
 def _check_divisible(height: int, mesh: Mesh) -> None:
     n = mesh.devices.size
     if height % n != 0:
@@ -48,6 +63,7 @@ def make_sharded_renderer(
     """Compile `params -> [H, W, 3]` with rows sharded over the mesh and the
     scene parameters replicated."""
     _check_divisible(height, mesh)
+    cfg = _resolve_backend(cfg, mesh)
 
     def render_rows(params: SceneParams, rows):
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
@@ -82,6 +98,7 @@ def make_sharded_loss(
     with rows sharded and the partial sums all-reduced (the backward pass of
     the psum is where scene-parameter gradients get all-reduced)."""
     _check_divisible(height, mesh)
+    cfg = _resolve_backend(cfg, mesh)
 
     def local_loss(params: SceneParams, rows, target_rows):
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
