@@ -196,14 +196,27 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    import os
+
     from loltracer_tpu.utils.cache import enable_cache
 
     enable_cache()
+    # LOLTRACE_PLATFORM=cpu|tpu pins where computation runs. Needed because
+    # this image's axon TPU-tunnel plugin registers itself even under
+    # JAX_PLATFORMS=cpu, so the env-var route alone cannot select CPU.
+    platform = os.environ.get("LOLTRACE_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices(platform)[0])
     parser = argparse.ArgumentParser(prog="loltrace")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("render", help="render a scene to PNG/NPY")
-    p.add_argument("scene")
+    p.add_argument(
+        "scene", nargs="?", default="-",
+        help=".lol file; '-' or omitted reads stdin (scene-parser.y:200-203)",
+    )
     p.add_argument("-o", "--output")
     p.add_argument(
         "--backend", choices=["jnp", "pallas", "golden"], default="jnp"
@@ -217,7 +230,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_view, size="96x72")
 
     p = sub.add_parser("info", help="parsed scene summary")
-    p.add_argument("scene")
+    p.add_argument("scene", nargs="?", default="-")
     p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("fit", help="inverse rendering toward a target image")

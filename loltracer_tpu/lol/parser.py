@@ -484,6 +484,12 @@ def parse_scene(text: str) -> SceneAst:
     return scene
 
 
-def parse_scene_file(path: str) -> SceneAst:
+def parse_scene_file(path: Optional[str]) -> SceneAst:
+    """Parse a .lol file; path "-" or None reads stdin, matching the
+    reference's `scene_parse(NULL)` fallback (scene-parser.y:200-203)."""
+    if path is None or path == "-":
+        import sys
+
+        return parse_scene(sys.stdin.read())
     with open(path, "r") as f:
         return parse_scene(f.read())

@@ -23,24 +23,19 @@ from jax import shard_map
 
 from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
 from loltracer_tpu.parallel.mesh import AXIS
+from loltracer_tpu.render.backend import resolve_march_backend
 from loltracer_tpu.render.camera import camera_rays_for_rows
 from loltracer_tpu.render.jnp_renderer import pixel_radius, render_rays
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
 
 def _resolve_backend(cfg: RenderConfig, mesh: Mesh) -> RenderConfig:
-    """Resolve march_backend="auto" against the mesh's ACTUAL devices.
-
-    The global default_backend() can disagree with where a shard_map runs:
-    this image's axon TPU plugin registers even under JAX_PLATFORMS=cpu, so
-    "auto" would pick the Pallas kernel while the mesh is built from faked
-    CPU devices (the driver's dryrun_multichip environment) and fail to
-    lower. The mesh knows the truth."""
-    if cfg.march_backend == "auto":
-        platform = mesh.devices.flat[0].platform
-        if platform != "tpu":
-            cfg = cfg.replace(march_backend="jnp")
-    return cfg
+    """Resolve march_backend="auto" FULLY against the mesh's actual devices
+    (render/backend.py) so code inside shard_map never consults the global
+    default device — the mesh is the single source of truth here."""
+    return cfg.replace(
+        march_backend=resolve_march_backend(cfg.march_backend, mesh)
+    )
 
 
 def _check_divisible(height: int, mesh: Mesh) -> None:

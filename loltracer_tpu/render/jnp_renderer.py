@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
+from loltracer_tpu.render.backend import resolve_march_backend
 from loltracer_tpu.render.camera import camera_rays, camera_rays_for_rows
 from loltracer_tpu.render.march import intersect_aa
 from loltracer_tpu.render.sdf import make_scene_sdf, make_scene_sdf_with_id
@@ -45,15 +46,7 @@ def _select_march(structure: SceneStructure, ro, rd, cfg: RenderConfig):
     """Pick the march implementation for this call: the fused Pallas kernel
     when it applies (TPU or explicitly requested, compiled scene, [H, W, 3]
     f32 ray grid from a single origin), else None -> the jnp while_loop."""
-    backend = cfg.march_backend
-    if backend == "auto":
-        # where computation actually runs: an explicitly pinned default
-        # device wins over the platform priority list (the axon TPU-tunnel
-        # plugin registers itself even under JAX_PLATFORMS=cpu, so
-        # default_backend() alone would claim "tpu" in CPU-pinned tests)
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        backend = "pallas" if platform == "tpu" else "jnp"
+    backend = resolve_march_backend(cfg.march_backend)
     if backend == "jnp":
         return None
     applicable = (
@@ -84,11 +77,7 @@ def _select_shadow_march(structure: SceneStructure, rd, cfg: RenderConfig):
     else None -> the jnp scan inside shading.soft_shadow."""
     if cfg.shadow_grad != "envelope":
         return None
-    backend = cfg.march_backend
-    if backend == "auto":
-        dev = jax.config.jax_default_device
-        platform = dev.platform if dev is not None else jax.default_backend()
-        backend = "pallas" if platform == "tpu" else "jnp"
+    backend = resolve_march_backend(cfg.march_backend)
     if backend == "jnp":
         return None
     applicable = (

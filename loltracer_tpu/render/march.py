@@ -95,9 +95,10 @@ def march(
         done = done | (d < cfg.epsilon) | (new_t > cfg.max_dist)
         return step + 1, t, t_query, s_min, t_close, done
 
-    _, t, t_query, s_min, t_close, _ = lax.while_loop(
-        cond, body, (0, t0, t0, inf0, t0, done0)
-    )
+    with jax.named_scope("lol_march"):
+        _, t, t_query, s_min, t_close, _ = lax.while_loop(
+            cond, body, (0, t0, t0, inf0, t0, done0)
+        )
     return MarchResult(t, t_query, s_min, t_close)
 
 

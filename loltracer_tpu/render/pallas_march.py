@@ -180,6 +180,7 @@ def make_pallas_shadow_march(
             ),
             out_shape=jax.ShapeDtypeStruct((2, ph, pw), jnp.float32),
             interpret=interpret,
+            name="lol_shadow_march",
         )
 
         args = [
@@ -239,6 +240,7 @@ def make_pallas_march(
             ),
             out_shape=jax.ShapeDtypeStruct((4, ph, pw), jnp.float32),
             interpret=interpret,
+            name="lol_march",
         )
 
         args = [jnp.asarray(ro, jnp.float32)]

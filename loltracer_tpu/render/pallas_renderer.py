@@ -253,6 +253,7 @@ def make_pallas_renderer(
         ),
         out_shape=jax.ShapeDtypeStruct((3, ph, pw), jnp.float32),
         interpret=interpret,
+        name="lol_render_fused",
     )
 
     def camera_pack(params: SceneParams):

@@ -82,9 +82,10 @@ def soft_shadow(
             jnp.zeros(batch, dtype),
             jnp.zeros(batch, bool),
         )
-        (res, _, t_star, _), _ = lax.scan(
-            body, init, None, length=cfg.shadow_steps
-        )
+        with jax.named_scope("lol_shadow_march"):
+            (res, _, t_star, _), _ = lax.scan(
+                body, init, None, length=cfg.shadow_steps
+            )
         return res, t_star
 
     if cfg.shadow_grad == "exact":
@@ -123,14 +124,17 @@ def get_normal(sdf: Callable, params, p, dist, cfg: RenderConfig):
     four-separate-calls formulation miscompiled to NaN/garbage gradients on
     XLA:CPU (observed empirically; the batched graph is also what we want on
     TPU)."""
-    ks = jnp.asarray(_NORMAL_KS, p.dtype)  # [4, 3]
-    batch_ndim = p.ndim - 1
-    ks_b = ks.reshape((4,) + (1,) * batch_ndim + (3,))
-    h = (dist * cfg.normal_h_scale)[..., None]  # [..., 1]
-    pts = p[None] + ks_b * h[None]  # [4, ..., 3] — tap axis leading
-    d = sdf(params, pts)  # [4, ...]
-    n = jnp.tensordot(jnp.moveaxis(d, 0, -1), ks, axes=([-1], [0]))  # [..., 3]
-    return _normalize(n)
+    with jax.named_scope("lol_normal"):
+        ks = jnp.asarray(_NORMAL_KS, p.dtype)  # [4, 3]
+        batch_ndim = p.ndim - 1
+        ks_b = ks.reshape((4,) + (1,) * batch_ndim + (3,))
+        h = (dist * cfg.normal_h_scale)[..., None]  # [..., 1]
+        pts = p[None] + ks_b * h[None]  # [4, ..., 3] — tap axis leading
+        d = sdf(params, pts)  # [4, ...]
+        n = jnp.tensordot(
+            jnp.moveaxis(d, 0, -1), ks, axes=([-1], [0])
+        )  # [..., 3]
+        return _normalize(n)
 
 
 def _safe_pow(base, exponent):
@@ -159,44 +163,45 @@ def shade(
     linear RGB [..., 3]. `shadow_march_fn` optionally replaces the jnp
     shadow scan for the frozen value pass in envelope mode (soft_shadow).
     """
-    mat_ids = jnp.asarray(structure.material_ids, jnp.int32)
-    mat = mat_ids[obj_id]
-    shininess = params.mat_shininess[mat]
-    diffuse = params.mat_diffuse[mat]
-    specular = params.mat_specular[mat]
-    ambient = params.mat_ambient[mat]
+    with jax.named_scope("lol_shade"):
+        mat_ids = jnp.asarray(structure.material_ids, jnp.int32)
+        mat = mat_ids[obj_id]
+        shininess = params.mat_shininess[mat]
+        diffuse = params.mat_diffuse[mat]
+        specular = params.mat_specular[mat]
+        ambient = params.mat_ambient[mat]
 
-    total = jnp.zeros_like(p)
-    cam_pos = params.cam_point
+        total = jnp.zeros_like(p)
+        cam_pos = params.cam_point
 
-    for li in range(structure.num_lights):
-        light_pos = params.light_point[li]
-        to_light = light_pos - p
-        light_dist = jnp.sqrt(_dot(to_light, to_light))
-        light_dir = _normalize(to_light)
+        for li in range(structure.num_lights):
+            light_pos = params.light_point[li]
+            to_light = light_pos - p
+            light_dist = jnp.sqrt(_dot(to_light, to_light))
+            light_dir = _normalize(to_light)
 
-        shadow_ro = p + light_dir * cfg.shadow_offset
-        shadow = soft_shadow(
-            sdf, params, shadow_ro, light_dir, light_dist, cfg,
-            shadow_march_fn=shadow_march_fn,
-        )
+            shadow_ro = p + light_dir * cfg.shadow_offset
+            shadow = soft_shadow(
+                sdf, params, shadow_ro, light_dir, light_dist, cfg,
+                shadow_march_fn=shadow_march_fn,
+            )
 
-        diffuse_incidence = jnp.clip(_dot(n, light_dir), 0.0, 1.0)
-        total = total + (
-            params.light_diffuse[li]
-            * (shadow * diffuse_incidence)[..., None]
-            * diffuse
-        )
+            diffuse_incidence = jnp.clip(_dot(n, light_dir), 0.0, 1.0)
+            total = total + (
+                params.light_diffuse[li]
+                * (shadow * diffuse_incidence)[..., None]
+                * diffuse
+            )
 
-        reflected = n * (2.0 * _dot(light_dir, n))[..., None] - light_dir
-        camera_dir = _normalize(cam_pos - p)
-        base = jnp.clip(_dot(reflected, camera_dir), 0.0, 1.0)
-        specular_incidence = diffuse_incidence * _safe_pow(base, shininess)
-        total = total + (
-            params.light_specular[li]
-            * (shadow * specular_incidence)[..., None]
-            * specular
-        )
+            reflected = n * (2.0 * _dot(light_dir, n))[..., None] - light_dir
+            camera_dir = _normalize(cam_pos - p)
+            base = jnp.clip(_dot(reflected, camera_dir), 0.0, 1.0)
+            specular_incidence = diffuse_incidence * _safe_pow(base, shininess)
+            total = total + (
+                params.light_specular[li]
+                * (shadow * specular_incidence)[..., None]
+                * specular
+            )
 
-    total = total + params.ambient_color * ambient
-    return jnp.clip(total, 0.0, 1.0)
+        total = total + params.ambient_color * ambient
+        return jnp.clip(total, 0.0, 1.0)

@@ -18,6 +18,8 @@ from loltracer_tpu.render.jnp_renderer import (
 from loltracer_tpu.scene import Scene, SceneStructure, params_astype
 from loltracer_tpu.scenes import instanced_spheres
 
+pytestmark = pytest.mark.slow  # 150-sphere compiles; run with `pytest -m slow`
+
 H, W = 24, 32
 N = 150  # small enough to unroll for the differential test
 

@@ -20,6 +20,8 @@ from loltracer_tpu.opt import fit_scene, load_checkpoint, masked_optimizer
 from loltracer_tpu.render.jnp_renderer import make_renderer, render_image
 from loltracer_tpu.scene import build_scene
 
+pytestmark = pytest.mark.slow  # optimization loops; run with `pytest -m slow`
+
 H, W = 24, 32
 CFG_AA = RenderConfig(antialias=True)
 

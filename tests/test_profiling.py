@@ -31,3 +31,22 @@ def test_max_steps_config_respected(examples_dir):
     cfg = RenderConfig(max_steps=16)
     steps = march_step_counts(scene.structure, scene.params, 12, 16, cfg)
     assert steps.max() <= 16
+
+
+def test_kernel_names_in_lowered_hlo(examples_dir):
+    """SURVEY §5.1: the hot-path stages must be identifiable in profiles —
+    the TPU analog of the reference's perf-jitdump symbolization of the
+    generated `sdf` (jitdump.c:93-120). jax.named_scope names survive into
+    the lowered module's debug metadata, which is what xprof displays."""
+    import jax
+
+    from loltracer_tpu.render.jnp_renderer import render_image
+
+    scene = build_scene(parse_scene_file(str(examples_dir / "scene.lol")))
+
+    def fn(params):
+        return render_image(scene.structure, params, 8, 16)
+
+    txt = jax.jit(fn).lower(scene.params).as_text(debug_info=True)
+    for name in ("lol_march", "lol_shadow_march", "lol_normal", "lol_shade"):
+        assert name in txt, f"{name} missing from lowered HLO metadata"
