@@ -47,6 +47,7 @@ def main():
     # through one SDF eval at the frozen penumbra argmin instead of
     # backpropagating the 128-step shadow scan.
     shadow_grad = os.environ.get("BENCH_SHADOW_GRAD", "envelope")
+    antialias = os.environ.get("BENCH_AA", "0") == "1"
 
     if scene_path.startswith("instanced:"):
         # procedural 10k+ primitive config, e.g. BENCH_SCENE=instanced:10000
@@ -56,10 +57,16 @@ def main():
     else:
         scene = build_scene(parse_scene_file(scene_path))
     structure, params = scene.structure, scene.params
-    cfg = RenderConfig(shadow_grad=shadow_grad if mode == "fwdbwd" else "exact")
+    cfg = RenderConfig(
+        shadow_grad=shadow_grad if mode == "fwdbwd" else "exact",
+        antialias=antialias,
+    )
 
+    # Default to the fused Pallas tier on TPU for BOTH modes (fwd: the fused
+    # forward renderer; fwdbwd: the custom_vjp training kernels); jnp
+    # elsewhere.
     backend = os.environ.get(
-        "BENCH_BACKEND", "pallas" if mode == "fwd" else "jnp"
+        "BENCH_BACKEND", "pallas" if jax.default_backend() == "tpu" else "jnp"
     )
 
     # Outputs are reduced to scalars ON DEVICE so the timing measures the
@@ -88,6 +95,15 @@ def main():
     elif mode == "fwd":
         fn = jax.jit(lambda p: jnp.sum(_render(p)))
     else:
+        if backend == "pallas":
+            # the fused differentiable tier: custom_vjp around the fused
+            # forward kernel + the re-attachment backward kernel
+            # (render/pallas_train.py)
+            from loltracer_tpu.render.pallas_train import (
+                make_training_renderer,
+            )
+
+            _render = make_training_renderer(structure, height, width, cfg)
 
         def loss(p):
             img = _render(p)
@@ -121,9 +137,14 @@ def main():
     rays = height * width
     rays_per_s = rays / best
 
+    tags = ""
+    if mode == "fwdbwd":
+        tags += f" shadow_grad={shadow_grad}"
+    if antialias:
+        tags += " aa"
     result = {
         "metric": f"rays/s/chip {mode}/{backend} {os.path.basename(scene_path)} "
-        f"{width}x{height}",
+        f"{width}x{height}{tags}",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / 1.0e6, 3),

@@ -39,6 +39,7 @@ from loltracer_tpu.render.pallas_scene import (
     active_fields,
     cdiv,
     czero,
+    read_param_values,
 )
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
@@ -46,7 +47,7 @@ from loltracer_tpu.scene import SceneParams, SceneStructure
 def _march_kernel(structure, cfg, fields, ro_ref, *rest):
     geom_refs = dict(zip(fields, rest[:-2]))
     rd_ref, out_ref = rest[-2], rest[-1]
-    scn = ScalarScene(structure, geom_refs)
+    scn = ScalarScene(structure, read_param_values(structure, geom_refs))
 
     ro_x, ro_y, ro_z = ro_ref[0], ro_ref[1], ro_ref[2]
     rdx = rd_ref[0, :, :]
@@ -88,7 +89,7 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
 def _shadow_kernel(structure, cfg, fields, *refs):
     geom_refs = dict(zip(fields, refs[: len(fields)]))
     ro_ref, rd_ref, maxd_ref, out_ref = refs[len(fields):]
-    scn = ScalarScene(structure, geom_refs)
+    scn = ScalarScene(structure, read_param_values(structure, geom_refs))
 
     rox, roy, roz = ro_ref[0, :, :], ro_ref[1, :, :], ro_ref[2, :, :]
     rdx, rdy, rdz = rd_ref[0, :, :], rd_ref[1, :, :], rd_ref[2, :, :]

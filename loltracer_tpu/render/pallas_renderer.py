@@ -45,6 +45,7 @@ from loltracer_tpu.render.pallas_scene import (
     active_fields as _active_fields,
     cdiv as _cdiv,
     czero as _czero,
+    read_param_values as _read_param_values,
 )
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
@@ -54,7 +55,7 @@ _NORMAL_KS = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0
 def _render_kernel(structure, cfg, height, width, cam_ref, *refs_and_out):
     param_refs = dict(zip(_active_fields(structure), refs_and_out[:-1]))
     out_ref = refs_and_out[-1]
-    scn = _ScalarScene(structure, param_refs)
+    scn = _ScalarScene(structure, _read_param_values(structure, param_refs))
 
     f32 = jnp.float32
     # camera pack: ro(3) right(3) up(3) dir(3) halfw halfh

@@ -1,17 +1,22 @@
 """Shared tile-level scene machinery for the Pallas kernels.
 
-The Pallas renderer, march and shadow kernels all evaluate the same
-scene SDF over (8, 128) pixel tiles with the scene *structure* unrolled at
-trace time and every scene *number* read from SMEM refs (the Pallas analog
-of the reference's DynASM scene specialization,
+The Pallas renderer, march/shadow kernels and the fused training kernels all
+evaluate the same scene SDF over (8, 128) pixel tiles with the scene
+*structure* unrolled at trace time and every scene *number* read from SMEM
+refs (the Pallas analog of the reference's DynASM scene specialization,
 tracing_jit_renderer.dasc:76-143). This module holds the pieces they share:
-the ScalarScene SMEM reader, the tile smooth-min, the concrete-layout zero
-helper, and the SMEM field plumbing.
-"""
+the SMEM scalar reader, the value-based ScalarScene, the tile smooth-min,
+the concrete-layout zero helper, and the SMEM field plumbing.
+
+The split between `read_param_values` (refs -> nested tuples of traced
+scalars) and `ScalarScene` (nested tuples -> SDF/shading evaluation) exists
+for the backward training kernel: it reads the scalars once, then takes
+`jax.vjp` of the whole re-attachment shading function with respect to that
+scalar pytree (render/pallas_train.py)."""
 
 from __future__ import annotations
 
-from typing import List
+from typing import Dict, List
 
 import jax.numpy as jnp
 
@@ -93,62 +98,108 @@ def active_fields(
     return [f for f in fields if f not in skip]
 
 
-class ScalarScene:
-    """Reads every scene number out of the kernel's SMEM refs once, exposing
-    them as plain traced scalars for the unrolled SDF/shading code. Material
-    and light tables are populated only when their refs are provided (the
-    march/shadow kernels pass geometry refs only)."""
+def field_shape(structure: SceneStructure, field: str):
+    """Logical shape of a param field for this structure (scene.py
+    SceneParams docstring)."""
+    s = structure
+    return {
+        "sphere_point": (s.num_spheres, 3),
+        "sphere_radius": (s.num_spheres,),
+        "box_point": (s.num_boxes, 3),
+        "box_half": (s.num_boxes, 3),
+        "box_radius": (s.num_boxes,),
+        "plane_y": (s.num_planes,),
+        "smooth_k": (s.num_unions,),
+        "mat_shininess": (s.num_materials,),
+        "mat_diffuse": (s.num_materials, 3),
+        "mat_specular": (s.num_materials, 3),
+        "mat_ambient": (s.num_materials, 3),
+        "ambient_color": (3,),
+        "light_point": (s.num_lights, 3),
+        "light_diffuse": (s.num_lights, 3),
+        "light_specular": (s.num_lights, 3),
+    }[field]
 
-    def __init__(self, structure: SceneStructure, refs: dict):
+
+def read_param_values(structure: SceneStructure, refs: Dict) -> Dict:
+    """Read every scalar of every provided SMEM field ref into nested
+    tuples mirroring the field shapes: 1-D fields become (s0, s1, ...),
+    [N, 3] fields become ((x, y, z), ...). The result is a JAX pytree of
+    traced scalars — the differentiation point for the backward kernel."""
+    values = {}
+    for field, ref in refs.items():
+        shape = field_shape(structure, field)
+        if len(shape) == 1:
+            values[field] = tuple(ref[i] for i in range(shape[0]))
+        else:
+            values[field] = tuple(
+                tuple(ref[i, j] for j in range(shape[1]))
+                for i in range(shape[0])
+            )
+    return values
+
+
+def array_param_values(structure: SceneStructure, params, fields=None) -> Dict:
+    """read_param_values, but from a SceneParams' arrays instead of SMEM
+    refs — the out-of-kernel twin used by tests and host-side gradient
+    checks."""
+    import jax.numpy as _jnp
+
+    if fields is None:
+        fields = active_fields(structure)
+    values = {}
+    for field in fields:
+        arr = _jnp.asarray(getattr(params, field)).astype(_jnp.float32)
+        shape = field_shape(structure, field)
+        if len(shape) == 1:
+            values[field] = tuple(arr[i] for i in range(shape[0]))
+        else:
+            values[field] = tuple(
+                tuple(arr[i, j] for j in range(shape[1]))
+                for i in range(shape[0])
+            )
+    return values
+
+
+class ScalarScene:
+    """Evaluates the unrolled scene SDF and shading tables from a pytree of
+    plain scalars (`read_param_values` output — or any pytree with the same
+    structure, e.g. vjp tangents). Material and light tables are populated
+    only when their fields are present (the march/shadow kernels pass
+    geometry only)."""
+
+    def __init__(self, structure: SceneStructure, values: Dict):
         s = structure
         self.structure = s
         self.sphere = [
-            (
-                refs["sphere_point"][i, 0],
-                refs["sphere_point"][i, 1],
-                refs["sphere_point"][i, 2],
-                refs["sphere_radius"][i],
-            )
-            for i in range(s.num_spheres if "sphere_point" in refs else 0)
+            (*values["sphere_point"][i], values["sphere_radius"][i])
+            for i in range(s.num_spheres if "sphere_point" in values else 0)
         ]
         self.box = [
-            (
-                refs["box_point"][i, 0],
-                refs["box_point"][i, 1],
-                refs["box_point"][i, 2],
-                refs["box_half"][i, 0],
-                refs["box_half"][i, 1],
-                refs["box_half"][i, 2],
-                refs["box_radius"][i],
-            )
-            for i in range(s.num_boxes if "box_point" in refs else 0)
+            (*values["box_point"][i], *values["box_half"][i],
+             values["box_radius"][i])
+            for i in range(s.num_boxes if "box_point" in values else 0)
         ]
-        self.plane = [
-            refs["plane_y"][i]
-            for i in range(s.num_planes if "plane_y" in refs else 0)
-        ]
-        self.smooth_k = [
-            refs["smooth_k"][i]
-            for i in range(s.num_unions if "smooth_k" in refs else 0)
-        ]
-        if "mat_shininess" in refs:
+        self.plane = list(values.get("plane_y", ()))
+        self.smooth_k = list(values.get("smooth_k", ()))
+        if "mat_shininess" in values:
             self.materials = [
                 (
-                    refs["mat_shininess"][m],
-                    tuple(refs["mat_diffuse"][m, c] for c in range(3)),
-                    tuple(refs["mat_specular"][m, c] for c in range(3)),
-                    tuple(refs["mat_ambient"][m, c] for c in range(3)),
+                    values["mat_shininess"][m],
+                    values["mat_diffuse"][m],
+                    values["mat_specular"][m],
+                    values["mat_ambient"][m],
                 )
                 for m in range(s.num_materials)
             ]
-        if "ambient_color" in refs:
-            self.ambient = tuple(refs["ambient_color"][c] for c in range(3))
-        if "light_point" in refs:
+        if "ambient_color" in values:
+            self.ambient = values["ambient_color"]
+        if "light_point" in values:
             self.lights = [
                 (
-                    tuple(refs["light_point"][l, c] for c in range(3)),
-                    tuple(refs["light_diffuse"][l, c] for c in range(3)),
-                    tuple(refs["light_specular"][l, c] for c in range(3)),
+                    values["light_point"][l],
+                    values["light_diffuse"][l],
+                    values["light_specular"][l],
                 )
                 for l in range(s.num_lights)
             ]
