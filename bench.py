@@ -57,9 +57,16 @@ def main():
     else:
         scene = build_scene(parse_scene_file(scene_path))
     structure, params = scene.structure, scene.params
+    # march backend for the frozen value passes inside the jnp/banded paths
+    # ("auto" = Pallas kernels on TPU); forward values are backend-invariant
+    march_backend = os.environ.get("BENCH_MARCH", "auto")
+    # envelope in fwd mode too: forward values are bitwise identical to
+    # "exact" (tests/test_shadow_envelope.py) and the frozen shadow march
+    # runs as a Pallas kernel instead of a full reverse-differentiable scan
     cfg = RenderConfig(
-        shadow_grad=shadow_grad if mode == "fwdbwd" else "exact",
+        shadow_grad=shadow_grad,
         antialias=antialias,
+        march_backend=march_backend,
     )
 
     # Default to the fused Pallas tier on TPU for BOTH modes (fwd: the fused
@@ -74,13 +81,19 @@ def main():
     # axon tunnel. XLA still executes the full pipeline to produce the
     # reductions.
     if structure.instanced:
-        # banded rendering bounds the [pixels, object_block] temporaries
+        # banded rendering bounds the [pixels, object_block] temporaries;
+        # the march/shadow value passes inside each band go through the
+        # instanced Pallas kernels when march_backend resolves to pallas
+        from loltracer_tpu.render.backend import resolve_march_backend
         from loltracer_tpu.render.jnp_renderer import render_image_banded
 
-        backend = "jnp-banded"
+        backend = f"banded-{resolve_march_backend(march_backend)}-march"
+        band_rows = int(os.environ.get("BENCH_BAND", 16))
 
         def _render(p):
-            return render_image_banded(structure, p, height, width, cfg)
+            return render_image_banded(
+                structure, p, height, width, cfg, band_rows=band_rows
+            )
 
     else:
 

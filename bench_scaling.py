@@ -38,6 +38,15 @@ def main():
     from loltracer_tpu.utils.cache import enable_cache
 
     enable_cache()
+    # Multi-host: rendezvous when LOLTRACE_COORDINATOR/LOLTRACE_DISTRIBUTED
+    # is set, so jax.devices() spans every host's chips and the row-sharded
+    # scaling ladder measures real ICI/DCN (parallel/distributed.py).
+    from loltracer_tpu.parallel.distributed import maybe_initialize
+
+    if maybe_initialize():
+        from loltracer_tpu.parallel.distributed import process_info
+
+        print(json.dumps(process_info()), file=sys.stderr)
     if "cpu" in os.environ.get("SCALE_PLATFORM", ""):
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
         devices = jax.devices("cpu")

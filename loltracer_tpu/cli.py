@@ -182,6 +182,57 @@ def cmd_stats(args):
     print(json.dumps(stats, indent=2))
 
 
+def cmd_roofline(args):
+    """Measure the fused kernel and report achieved fraction of VPU peak
+    (utils/roofline.py; SURVEY §6 cost model x measured step histogram)."""
+    import numpy as np
+
+    from loltracer_tpu.utils.roofline import roofline_estimate
+
+    w, h = _parse_size(args.size)
+    cfg = _build_cfg(args)
+    scene = _load_scene(args.scene)
+
+    if args.mode == "fwdbwd":
+        import jax
+        import jax.numpy as jnp
+
+        from loltracer_tpu.render.pallas_train import make_training_renderer
+
+        cfg = cfg.replace(shadow_grad="envelope")
+        r = make_training_renderer(scene.structure, h, w, cfg)
+
+        def loss(p):
+            return jnp.mean(r(p) ** 2)
+
+        fn = jax.jit(jax.value_and_grad(loss))
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from loltracer_tpu.render.pallas_renderer import make_pallas_renderer
+
+        r = make_pallas_renderer(scene.structure, h, w, cfg)
+        fn = jax.jit(lambda p: jnp.sum(r(p)))
+
+    def fetch(out):
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    fetch(fn(scene.params))  # compile + warmup
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        fetch(fn(scene.params))
+        times.append(time.perf_counter() - t0)
+
+    est = roofline_estimate(
+        scene.structure, scene.params, h, w, min(times), cfg, mode=args.mode
+    )
+    est["measured_seconds"] = min(times)
+    est["rays_per_s"] = h * w / min(times)
+    print(json.dumps({k: float(v) for k, v in est.items()}, indent=2))
+
+
 def cmd_bench(args):
     import os
 
@@ -209,6 +260,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_default_device", jax.devices(platform)[0])
+    # Multi-host bootstrap (no-op unless LOLTRACE_COORDINATOR /
+    # LOLTRACE_DISTRIBUTED is set): after this, jax.devices() spans the
+    # slice and the sharded paths ride ICI/DCN (parallel/distributed.py).
+    from loltracer_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     parser = argparse.ArgumentParser(prog="loltrace")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -256,6 +313,16 @@ def main(argv=None):
     p.add_argument("--size")
     p.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwdbwd")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser(
+        "roofline",
+        help="measure the fused kernel's achieved fraction of VPU peak",
+    )
+    p.add_argument("scene")
+    p.add_argument("--mode", choices=["fwd", "fwdbwd"], default="fwd")
+    p.add_argument("--reps", type=int, default=3)
+    _add_render_flags(p)
+    p.set_defaults(fn=cmd_roofline, size="1920x1080")
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -53,3 +53,29 @@ def make_mesh(
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+HOSTS_AXIS = "hosts"
+CHIPS_AXIS = "chips"
+
+
+def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A 2-D (hosts, chips) mesh: the process axis outer, each host's local
+    devices inner (SURVEY §2.2). Image rows shard over BOTH axes with the
+    hosts axis major, so each host owns a contiguous block of rows
+    (host-local I/O, like the reference's disjoint scanlines) and the
+    backward's scene-gradient all-reduce combines over ICI within a host
+    before crossing DCN between hosts (SURVEY §5.8)."""
+    if devices is None:
+        devices = jax.devices()
+    by_process: dict = {}
+    for d in devices:
+        by_process.setdefault(d.process_index, []).append(d)
+    counts = {len(v) for v in by_process.values()}
+    if len(counts) != 1:
+        raise ValueError(
+            f"uneven local device counts across processes: "
+            f"{ {k: len(v) for k, v in by_process.items()} }"
+        )
+    rows = [by_process[k] for k in sorted(by_process)]
+    return Mesh(np.asarray(rows), (HOSTS_AXIS, CHIPS_AXIS))

@@ -22,7 +22,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from loltracer_tpu.config import DEFAULT_CONFIG, RenderConfig
-from loltracer_tpu.parallel.mesh import AXIS
 from loltracer_tpu.render.backend import resolve_march_backend
 from loltracer_tpu.render.camera import camera_rays_for_rows
 from loltracer_tpu.render.jnp_renderer import pixel_radius, render_rays
@@ -47,6 +46,14 @@ def _check_divisible(height: int, mesh: Mesh) -> None:
         )
 
 
+def _row_axes(mesh: Mesh):
+    """Every mesh axis, major-to-minor: rows shard over ALL of them. For the
+    1-D mesh this is ('devices',); for the 2-D (hosts, chips) mesh the hosts
+    axis is major so each host owns a contiguous row block (host-local I/O)
+    and reductions combine intra-host (ICI) before inter-host (DCN)."""
+    return tuple(mesh.axis_names)
+
+
 def make_sharded_renderer(
     structure: SceneStructure,
     mesh: Mesh,
@@ -59,6 +66,7 @@ def make_sharded_renderer(
     scene parameters replicated."""
     _check_divisible(height, mesh)
     cfg = _resolve_backend(cfg, mesh)
+    axes = _row_axes(mesh)
 
     def render_rows(params: SceneParams, rows):
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
@@ -68,8 +76,8 @@ def make_sharded_renderer(
     sharded = shard_map(
         render_rows,
         mesh=mesh,
-        in_specs=(P(), P(AXIS)),
-        out_specs=P(AXIS),
+        in_specs=(P(), P(axes)),
+        out_specs=P(axes),
         check_vma=False,
     )
     rows = jnp.arange(height, dtype=jnp.int32)
@@ -94,18 +102,19 @@ def make_sharded_loss(
     the psum is where scene-parameter gradients get all-reduced)."""
     _check_divisible(height, mesh)
     cfg = _resolve_backend(cfg, mesh)
+    axes = _row_axes(mesh)
 
     def local_loss(params: SceneParams, rows, target_rows):
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
         pr = pixel_radius(params, height, cfg) if cfg.antialias else None
         img = render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
         sq = (img - target_rows) ** 2
-        return lax.psum(jnp.sum(sq), AXIS) / (height * width * 3)
+        return lax.psum(jnp.sum(sq), axes) / (height * width * 3)
 
     sharded = shard_map(
         local_loss,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(axes), P(axes)),
         out_specs=P(),
         check_vma=False,
     )

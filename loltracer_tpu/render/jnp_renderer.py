@@ -50,8 +50,7 @@ def _select_march(structure: SceneStructure, ro, rd, cfg: RenderConfig):
     if backend == "jnp":
         return None
     applicable = (
-        not structure.instanced
-        and rd.ndim == 3
+        rd.ndim == 3
         and rd.shape[-1] == 3
         and ro.ndim == 1
         and rd.dtype == jnp.float32
@@ -81,8 +80,7 @@ def _select_shadow_march(structure: SceneStructure, rd, cfg: RenderConfig):
     if backend == "jnp":
         return None
     applicable = (
-        not structure.instanced
-        and rd.ndim == 3
+        rd.ndim == 3
         and rd.shape[-1] == 3
         and rd.dtype == jnp.float32
     )

@@ -35,19 +35,39 @@ from loltracer_tpu.render.pallas_scene import (
     GEOM_FIELDS,
     TILE_H,
     TILE_W,
+    InstancedScene,
     ScalarScene,
     active_fields,
     cdiv,
     czero,
+    pack_instanced_spheres,
     read_param_values,
 )
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
 
-def _march_kernel(structure, cfg, fields, ro_ref, *rest):
-    geom_refs = dict(zip(fields, rest[:-2]))
-    rd_ref, out_ref = rest[-2], rest[-1]
+def _build_geom_scene(structure, fields, refs):
+    """Scene evaluator + count of geometry refs consumed from `refs`.
+
+    Compiled structures read per-primitive scalars from SMEM; instanced
+    structures stream 128-sphere blocks from one VMEM ref (+ optional SMEM
+    plane_y)."""
+    if structure.instanced:
+        sphere_ref, bounds_ref = refs[0], refs[1]
+        n = 2
+        plane_vals = []
+        if structure.num_planes:
+            plane_vals = [refs[2][i] for i in range(structure.num_planes)]
+            n = 3
+        return InstancedScene(structure, sphere_ref, bounds_ref, plane_vals), n
+    geom_refs = dict(zip(fields, refs[: len(fields)]))
     scn = ScalarScene(structure, read_param_values(structure, geom_refs))
+    return scn, len(fields)
+
+
+def _march_kernel(structure, cfg, fields, ro_ref, *rest):
+    scn, n = _build_geom_scene(structure, fields, rest)
+    rd_ref, out_ref = rest[n], rest[n + 1]
 
     ro_x, ro_y, ro_z = ro_ref[0], ro_ref[1], ro_ref[2]
     rdx = rd_ref[0, :, :]
@@ -87,9 +107,8 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
 
 
 def _shadow_kernel(structure, cfg, fields, *refs):
-    geom_refs = dict(zip(fields, refs[: len(fields)]))
-    ro_ref, rd_ref, maxd_ref, out_ref = refs[len(fields):]
-    scn = ScalarScene(structure, read_param_values(structure, geom_refs))
+    scn, n = _build_geom_scene(structure, fields, refs)
+    ro_ref, rd_ref, maxd_ref, out_ref = refs[n: n + 4]
 
     rox, roy, roz = ro_ref[0, :, :], ro_ref[1, :, :], ro_ref[2, :, :]
     rdx, rdy, rdz = rd_ref[0, :, :], rd_ref[1, :, :], rd_ref[2, :, :]
@@ -127,6 +146,51 @@ def _shadow_kernel(structure, cfg, fields, *refs):
     out_ref[1, :, :] = t_star
 
 
+# Rays per column-layout tile (instanced kernels). 512 keeps the ~8 live
+# (COL, 128) sphere-block temporaries + loop carries inside the 16MB VMEM
+# budget (1024 overflowed by ~0.4MB) and halves the early-exit granularity.
+COL = 512
+
+
+def _to_columns(arr, gh, gw):
+    """(C, ph, pw) -> (C, gh*gw*TILE_H*TILE_W, 1): tile-major pixel columns
+    for the instanced kernels (see pallas_scene.InstancedScene); each
+    spatial (8, 128) tile contributes TILE_H*TILE_W/COL consecutive column
+    tiles."""
+    C = arr.shape[0]
+    a = arr.reshape(C, gh, TILE_H, gw, TILE_W).transpose(0, 1, 3, 2, 4)
+    return a.reshape(C, gh * gw * TILE_H * TILE_W, 1)
+
+
+def _from_columns(a, gh, gw):
+    """Inverse of _to_columns."""
+    C = a.shape[0]
+    a = a.reshape(C, gh, gw, TILE_H, TILE_W).transpose(0, 1, 3, 2, 4)
+    return a.reshape(C, gh * TILE_H, gw * TILE_W)
+
+
+def _geom_specs_and_args(structure, fields, params):
+    """(in_specs, args) for the scene geometry, matching _build_geom_scene:
+    SMEM scalars for compiled structures; a VMEM [4, nblocks, 128] sphere
+    pack (+ SMEM plane_y) for instanced ones."""
+    if structure.instanced:
+        spheres, bounds = pack_instanced_spheres(params)
+        specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args = [spheres, bounds]
+        if structure.num_planes:
+            specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            args.append(jnp.asarray(params.plane_y).astype(jnp.float32))
+        return specs, args
+    specs = [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in fields]
+    args = [
+        jnp.asarray(getattr(params, f)).astype(jnp.float32) for f in fields
+    ]
+    return specs, args
+
+
 def make_pallas_shadow_march(
     structure: SceneStructure,
     cfg: RenderConfig = DEFAULT_CONFIG,
@@ -138,11 +202,7 @@ def make_pallas_shadow_march(
     == "envelope"). Per-pixel semantics match the jnp scan exactly; tiles
     early-exit when every lane is done (shadow rays from lit/sky regions
     terminate in a handful of steps). Value-only: the caller stop-gradients
-    inputs and outputs."""
-    if structure.instanced:
-        raise ValueError(
-            "pallas shadow march supports compiled (non-instanced) scenes"
-        )
+    inputs and outputs. Supports compiled and instanced structures."""
     fields = active_fields(structure, GEOM_FIELDS)
     kernel = functools.partial(_shadow_kernel, structure, cfg, fields)
 
@@ -159,36 +219,57 @@ def make_pallas_shadow_march(
             rdp = jnp.pad(rdp, pad, mode="edge")
             mdp = jnp.pad(mdp, pad, mode="edge")
 
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM) for _ in fields
-        ]
-        for ch in (3, 3, 1):
-            in_specs.append(
-                pl.BlockSpec(
-                    (ch, TILE_H, TILE_W),
+        in_specs, args = _geom_specs_and_args(structure, fields, params)
+        if structure.instanced:
+            nt = gh * gw * (TILE_H * TILE_W // COL)
+            rop, rdp, mdp = (
+                _to_columns(rop, gh, gw),
+                _to_columns(rdp, gh, gw),
+                _to_columns(mdp, gh, gw),
+            )
+            for ch in (3, 3, 1):
+                in_specs.append(
+                    pl.BlockSpec(
+                        (ch, COL, 1), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+            call = pl.pallas_call(
+                kernel,
+                grid=(nt,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (2, COL, 1), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((2, nt * COL, 1), jnp.float32),
+                interpret=interpret,
+                name="lol_shadow_march_instanced",
+            )
+            out = _from_columns(call(*args, rop, rdp, mdp), gh, gw)
+        else:
+            for ch in (3, 3, 1):
+                in_specs.append(
+                    pl.BlockSpec(
+                        (ch, TILE_H, TILE_W),
+                        lambda i, j: (0, i, j),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+            call = pl.pallas_call(
+                kernel,
+                grid=(gh, gw),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (2, TILE_H, TILE_W),
                     lambda i, j: (0, i, j),
                     memory_space=pltpu.VMEM,
-                )
+                ),
+                out_shape=jax.ShapeDtypeStruct((2, ph, pw), jnp.float32),
+                interpret=interpret,
+                name="lol_shadow_march",
             )
-        call = pl.pallas_call(
-            kernel,
-            grid=(gh, gw),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (2, TILE_H, TILE_W),
-                lambda i, j: (0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((2, ph, pw), jnp.float32),
-            interpret=interpret,
-            name="lol_shadow_march",
-        )
-
-        args = [
-            jnp.asarray(getattr(params, f)).astype(jnp.float32)
-            for f in fields
-        ]
-        out = call(*args, rop, rdp, mdp)
+            out = call(*args, rop, rdp, mdp)
         return out[0, :height, :width], out[1, :height, :width]
 
     return shadow_fn
@@ -202,9 +283,7 @@ def make_pallas_march(
     """Build `march_fn(params, ro [3], rd [H, W, 3]) -> MarchResult` running
     the march as a Pallas kernel (interpret=True for CPU tests). Inputs are
     treated as constants (stop-gradient applied by the caller); outputs carry
-    no gradient."""
-    if structure.instanced:
-        raise ValueError("pallas march supports compiled (non-instanced) scenes")
+    no gradient. Supports compiled and instanced structures."""
     fields = active_fields(structure, GEOM_FIELDS)
     kernel = functools.partial(_march_kernel, structure, cfg, fields)
 
@@ -220,35 +299,56 @@ def make_pallas_march(
                 rdp, ((0, 0), (0, ph - height), (0, pw - width)), mode="edge"
             )
 
+        geom_specs, geom_args = _geom_specs_and_args(structure, fields, params)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # ro
-        for _ in fields:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        in_specs.append(
-            pl.BlockSpec(
-                (3, TILE_H, TILE_W),
-                lambda i, j: (0, i, j),
-                memory_space=pltpu.VMEM,
+        in_specs.extend(geom_specs)
+        if structure.instanced:
+            # column layout: rays as (COL, 1) tiles, 1-D grid over tiles
+            nt = gh * gw * (TILE_H * TILE_W // COL)
+            rdc = _to_columns(rdp, gh, gw)
+            in_specs.append(
+                pl.BlockSpec(
+                    (3, COL, 1), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
-        call = pl.pallas_call(
-            kernel,
-            grid=(gh, gw),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (4, TILE_H, TILE_W),
-                lambda i, j: (0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((4, ph, pw), jnp.float32),
-            interpret=interpret,
-            name="lol_march",
-        )
-
-        args = [jnp.asarray(ro, jnp.float32)]
-        for f in fields:
-            args.append(jnp.asarray(getattr(params, f)).astype(jnp.float32))
-        args.append(rdp)
-        out = call(*args)
+            call = pl.pallas_call(
+                kernel,
+                grid=(nt,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (4, COL, 1), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((4, nt * COL, 1), jnp.float32),
+                interpret=interpret,
+                name="lol_march_instanced",
+            )
+            args = [jnp.asarray(ro, jnp.float32)] + geom_args + [rdc]
+            out = _from_columns(call(*args), gh, gw)
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (3, TILE_H, TILE_W),
+                    lambda i, j: (0, i, j),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            call = pl.pallas_call(
+                kernel,
+                grid=(gh, gw),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (4, TILE_H, TILE_W),
+                    lambda i, j: (0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((4, ph, pw), jnp.float32),
+                interpret=interpret,
+                name="lol_march",
+            )
+            args = [jnp.asarray(ro, jnp.float32)] + geom_args + [rdp]
+            out = call(*args)
         return MarchResult(
             t=out[0, :height, :width],
             t_query=out[1, :height, :width],

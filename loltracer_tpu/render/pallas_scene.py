@@ -161,6 +161,163 @@ def array_param_values(structure: SceneStructure, params, fields=None) -> Dict:
     return values
 
 
+INSTANCED_LANES = 128  # sphere block width = the VPU lane count
+
+
+def _morton_codes(pos):
+    """30-bit Morton (Z-order) codes for [N, 3] positions — the spatial sort
+    that makes 128-sphere blocks compact so their bounding spheres cull
+    (pure jnp: runs under jit on traced params; the ORDER is value-dependent
+    but the min over spheres is exact regardless of order, so reordering
+    never changes results)."""
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    q = (pos - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0
+    q = jnp.clip(q, 0.0, 1023.0).astype(jnp.uint32)
+
+    def part1by2(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (
+        part1by2(q[:, 0])
+        | (part1by2(q[:, 1]) << 1)
+        | (part1by2(q[:, 2]) << 2)
+    )
+
+
+def pack_instanced_spheres(params):
+    """Pack the instanced sphere SoA into the kernel layouts:
+
+      spheres [4, nblocks, 128]  (rows x, y, z, r), Morton-sorted so each
+                                 128-sphere block is spatially compact;
+                                 lane-padded with r = -1e30 so padded
+                                 entries never win the min
+      bounds  [4, 1, nb_pad]     per-block bounding spheres (cx, cy, cz,
+                                 R) as lane vectors, padded with R = -1e30
+                                 so padded blocks always cull
+
+    The bounds drive per-tile block culling in InstancedScene.dist_only:
+    for every ray, dist-to-block-bound lower-bounds every sphere distance
+    in the block, so a block whose bound beats no ray's running min is
+    skipped outright — the BVH-free analog of a two-level hierarchy, with
+    the hierarchy implicit in the Morton order."""
+    ns = params.sphere_radius.shape[0]
+    nb = max(1, cdiv(ns, INSTANCED_LANES))
+    pad = nb * INSTANCED_LANES - ns
+    pos = jnp.asarray(params.sphere_point, jnp.float32)
+    rad = jnp.asarray(params.sphere_radius, jnp.float32)
+    if ns:
+        order = jnp.argsort(_morton_codes(pos))
+        pos = pos[order]
+        rad = rad[order]
+    pos = jnp.concatenate([pos, jnp.zeros((pad, 3), jnp.float32)])
+    rad = jnp.concatenate([rad, jnp.full((pad,), -1e30, jnp.float32)])
+    packed = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], rad])
+    packed = packed.reshape(4, nb, INSTANCED_LANES)
+
+    # per-block bounds: center = mean of real members,
+    # R = max(|c - ctr| + r) (lower-bound radius: dist-to-center - R lower
+    # bounds every member distance), S = min(|c - ctr| - r) (upper-bound
+    # offset: dist-to-center + S upper bounds the block's best distance)
+    posb = pos.reshape(nb, INSTANCED_LANES, 3)
+    radb = rad.reshape(nb, INSTANCED_LANES)
+    real = radb > -1e29
+    cnt = jnp.maximum(jnp.sum(real, axis=1, keepdims=True), 1)
+    ctr = jnp.sum(jnp.where(real[..., None], posb, 0.0), axis=1) / cnt
+    off = jnp.sqrt(jnp.sum((posb - ctr[:, None, :]) ** 2, axis=-1))
+    bound_r = jnp.max(jnp.where(real, off + radb, -1e30), axis=1)
+    bound_s = jnp.min(jnp.where(real, off - radb, 1e30), axis=1)
+    nb_pad = cdiv(nb, INSTANCED_LANES) * INSTANCED_LANES
+    bounds = jnp.zeros((5, 1, nb_pad), jnp.float32)
+    bounds = bounds.at[3].set(-1e30)  # padded blocks: never relevant
+    bounds = bounds.at[4].set(1e30)  # padded blocks: never bound U
+    bounds = bounds.at[0, 0, :nb].set(ctr[:, 0])
+    bounds = bounds.at[1, 0, :nb].set(ctr[:, 1])
+    bounds = bounds.at[2, 0, :nb].set(ctr[:, 2])
+    bounds = bounds.at[3, 0, :nb].set(bound_r)
+    bounds = bounds.at[4, 0, :nb].set(bound_s)
+    return packed, bounds
+
+
+class InstancedScene:
+    """Tile-level scene evaluation for instanced (10k+ sphere) structures:
+    a running min over 128-sphere blocks streamed from a VMEM ref.
+
+    The instanced kernels run in COLUMN LAYOUT: a tile's 1024 rays are laid
+    out as (1024, 1) columns (pixels on sublanes), so each sphere block is
+    one natural (1024, 128) broadcast — pixels splat along lanes, the
+    sphere-block lane vector splats along sublanes, and the block argmin is
+    a lane reduction, with no relayout of ray data anywhere. (The
+    pixels-on-lanes (8,128,128) formulation forced a pixel-tile relayout
+    per op and measured 2x SLOWER than whole-image jnp; this one keeps
+    XLA's natural instanced layout while adding per-tile early exit.)
+    Value-only (the differentiable re-attachment runs in banded jnp)."""
+
+    def __init__(self, structure: SceneStructure, sphere_ref, bounds_ref,
+                 plane_vals):
+        self.structure = structure
+        self.sphere_ref = sphere_ref  # [4, nblocks, 128] VMEM
+        self.bounds_ref = bounds_ref  # [4, 1, nb_pad] VMEM block bounds
+        self.plane_vals = list(plane_vals)
+        self.nblocks = cdiv(structure.num_spheres, INSTANCED_LANES)
+
+    def dist_only(self, px, py, pz):
+        import jax
+        from jax import lax
+
+        # EXACT block culling in one (COL, nb_pad) bound pass per call
+        # (triangle inequality, bounds from pack_instanced_spheres):
+        #   d_lo[r, b] = |p_r - ctr_b| - R_b  <=  every sphere dist in b
+        #   d_hi[r, b] = |p_r - ctr_b| + S_b  >=  block b's best dist
+        # so U_r = min_b d_hi[r, b] upper-bounds ray r's final sphere min,
+        # and a block with d_lo[r, b] >= U_r for EVERY ray in the tile
+        # cannot win any lane — skipping it changes nothing. Morton
+        # ordering (pack time) makes blocks compact enough to cull.
+        bx = self.bounds_ref[0, :, :]  # (1, nb_pad)
+        by = self.bounds_ref[1, :, :]
+        bz = self.bounds_ref[2, :, :]
+        bR = self.bounds_ref[3, :, :]
+        bS = self.bounds_ref[4, :, :]
+        dbx = px - bx
+        dby = py - by
+        dbz = pz - bz
+        dc = jnp.sqrt(dbx * dbx + dby * dby + dbz * dbz)  # (COL, nb_pad)
+        u = jnp.min(dc + bS, axis=-1, keepdims=True)  # (COL, 1)
+        relevant = jnp.any(dc - bR < u, axis=0, keepdims=True)  # (1, nb_pad)
+        relevant_f = jnp.where(relevant, 1.0, 0.0)
+        lane = lax.broadcasted_iota(
+            jnp.int32, relevant_f.shape, 1
+        )
+
+        def eval_block(b, dmin):
+            cx = self.sphere_ref[0, b, :][None, :]  # (1, 128)
+            cy = self.sphere_ref[1, b, :][None, :]
+            cz = self.sphere_ref[2, b, :][None, :]
+            rr = self.sphere_ref[3, b, :][None, :]
+            dx = px - cx  # (COL, 128)
+            dy = py - cy
+            dz = pz - cz
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - rr
+            return jnp.minimum(dmin, jnp.min(d, axis=-1, keepdims=True))
+
+        def body(b, dmin):
+            sel = jnp.sum(jnp.where(lane == b, relevant_f, 0.0))
+            return lax.cond(
+                sel > 0.5, lambda d: eval_block(b, d), lambda d: d, dmin
+            )
+
+        dmin = jax.lax.fori_loop(
+            0, self.nblocks, body, czero(px) + jnp.inf
+        )
+        for y in self.plane_vals:
+            dmin = jnp.minimum(dmin, py - y)
+        return dmin
+
+
 class ScalarScene:
     """Evaluates the unrolled scene SDF and shading tables from a pytree of
     plain scalars (`read_param_values` output — or any pytree with the same

@@ -106,3 +106,71 @@ def test_grad_with_pallas_march_matches(scenes):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-3
         )
+
+
+def test_instanced_march_kernel_matches_jnp():
+    """The instanced (VMEM sphere-block streaming) march kernel reproduces
+    the jnp instanced march, including closest-approach channels."""
+    from loltracer_tpu.scenes import instanced_spheres
+
+    scene = instanced_spheres(n=40, seed=5)
+    cfg = RenderConfig()
+    ro, rd = camera_rays(scene.params, H, W, cfg)
+    sdf = make_scene_sdf(scene.structure)
+    ref = march(sdf, scene.params, ro, rd, cfg)
+    pal = make_pallas_march(scene.structure, cfg, interpret=True)(
+        scene.params, ro, rd
+    )
+    np.testing.assert_allclose(pal.t, ref.t, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(pal.t_query, ref.t_query, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(pal.t_close, ref.t_close, atol=1e-4, rtol=1e-4)
+
+
+def test_instanced_shadow_kernel_matches_scan():
+    """The instanced frozen shadow march matches the jnp scan's (res, t*)."""
+    from jax import lax
+
+    from loltracer_tpu.render.pallas_march import make_pallas_shadow_march
+    from loltracer_tpu.scenes import instanced_spheres
+
+    scene = instanced_spheres(n=40, seed=5)
+    cfg = RenderConfig()
+    sdf = make_scene_sdf(scene.structure)
+    ro, rd = camera_rays(scene.params, H, W, cfg)
+    res = march(sdf, scene.params, ro, rd, cfg)
+    p = ro + res.t[..., None] * rd
+    to_l = scene.params.light_point[0] - p
+    ldist = jnp.sqrt(jnp.sum(to_l * to_l, -1))
+    ldir = to_l / jnp.maximum(ldist, 1e-30)[..., None]
+    sro = p + ldir * cfg.shadow_offset
+
+    def body(carry, _):
+        r, t, ts, done = carry
+        d = sdf(scene.params, sro + t[..., None] * ldir)
+        safe_t = jnp.where(t > 0, t, 1.0)
+        val = jnp.where(
+            t > 0, cfg.shadow_w * d / safe_t,
+            jnp.where(d < 0, -jnp.inf, jnp.inf),
+        )
+        better = ~done & (val < r)
+        nr = jnp.where(done, r, jnp.minimum(r, val))
+        ts = jnp.where(better, t, ts)
+        nt = jnp.where(done, t, t + d)
+        return (nr, nt, ts, done | (nr < -1) | (nt > ldist)), None
+
+    init = (
+        jnp.ones((H, W)), jnp.zeros((H, W)), jnp.zeros((H, W)),
+        jnp.zeros((H, W), bool),
+    )
+    (res_ref, _, ts_ref, _), _ = lax.scan(
+        body, init, None, length=cfg.shadow_steps
+    )
+    pr, pts = make_pallas_shadow_march(scene.structure, cfg, interpret=True)(
+        scene.params, sro, ldir, ldist
+    )
+    res_ref, ts_ref = np.asarray(res_ref), np.asarray(ts_ref)
+    pr, pts = np.asarray(pr), np.asarray(pts)
+    fin = np.isfinite(res_ref)
+    np.testing.assert_array_equal(fin, np.isfinite(pr))
+    np.testing.assert_allclose(pr[fin], res_ref[fin], atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(pts, ts_ref, atol=5e-5, rtol=1e-4)
