@@ -54,6 +54,31 @@ def _row_axes(mesh: Mesh):
     return tuple(mesh.axis_names)
 
 
+def _fused_row_renderer(structure, cfg, mesh, height, width, fused):
+    """The per-shard fused training renderer when it applies (TPU mesh or
+    explicit request, compiled scene, envelope shadows), else None -> the
+    jnp path. Each device renders its contiguous row block through the
+    custom_vjp Pallas kernels (render/pallas_train.py), so the SPMD training
+    step's entire per-device compute is two fused kernels + the loss."""
+    if fused == "off" or structure.instanced or cfg.shadow_grad != "envelope":
+        return None
+    if fused == "auto":
+        if resolve_march_backend(cfg.march_backend, mesh) != "pallas":
+            return None
+        interpret = False
+    elif fused == "interpret":
+        interpret = True
+    else:
+        raise ValueError(f"unknown fused mode {fused!r}")
+    from loltracer_tpu.render.pallas_train import make_training_renderer
+
+    rows_per = height // mesh.devices.size
+    return make_training_renderer(
+        structure, rows_per, width, cfg, interpret=interpret,
+        full_height=height, with_row_offset=True,
+    )
+
+
 def make_sharded_renderer(
     structure: SceneStructure,
     mesh: Mesh,
@@ -61,14 +86,19 @@ def make_sharded_renderer(
     width: int,
     cfg: RenderConfig = DEFAULT_CONFIG,
     dtype=jnp.float32,
+    fused: str = "auto",
 ) -> Callable[[SceneParams], jnp.ndarray]:
     """Compile `params -> [H, W, 3]` with rows sharded over the mesh and the
-    scene parameters replicated."""
+    scene parameters replicated. `fused` selects the per-shard fused Pallas
+    tier ("auto" on TPU meshes / "interpret" / "off" -> jnp)."""
     _check_divisible(height, mesh)
     cfg = _resolve_backend(cfg, mesh)
     axes = _row_axes(mesh)
+    fused_fn = _fused_row_renderer(structure, cfg, mesh, height, width, fused)
 
     def render_rows(params: SceneParams, rows):
+        if fused_fn is not None:
+            return fused_fn(params, rows[0].astype(jnp.float32))
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
         pr = pixel_radius(params, height, cfg) if cfg.antialias else None
         return render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
@@ -96,18 +126,27 @@ def make_sharded_loss(
     width: int,
     cfg: RenderConfig = DEFAULT_CONFIG,
     dtype=jnp.float32,
+    fused: str = "auto",
 ) -> Callable[[SceneParams, jnp.ndarray], jnp.ndarray]:
     """`(params, target [H, W, 3]) -> scalar mean-squared-error`, computed
     with rows sharded and the partial sums all-reduced (the backward pass of
-    the psum is where scene-parameter gradients get all-reduced)."""
+    the psum is where scene-parameter gradients get all-reduced). On TPU
+    meshes with envelope shadows, each shard's render fwd+bwd runs through
+    the fused Pallas training kernels (`fused`, _fused_row_renderer)."""
     _check_divisible(height, mesh)
     cfg = _resolve_backend(cfg, mesh)
     axes = _row_axes(mesh)
+    fused_fn = _fused_row_renderer(structure, cfg, mesh, height, width, fused)
 
     def local_loss(params: SceneParams, rows, target_rows):
-        ro, rd = camera_rays_for_rows(params, rows, height, width, cfg, dtype)
-        pr = pixel_radius(params, height, cfg) if cfg.antialias else None
-        img = render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
+        if fused_fn is not None:
+            img = fused_fn(params, rows[0].astype(jnp.float32))
+        else:
+            ro, rd = camera_rays_for_rows(
+                params, rows, height, width, cfg, dtype
+            )
+            pr = pixel_radius(params, height, cfg) if cfg.antialias else None
+            img = render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
         sq = (img - target_rows) ** 2
         return lax.psum(jnp.sum(sq), axes) / (height * width * 3)
 
@@ -135,6 +174,7 @@ def make_sharded_train_step(
     cfg: RenderConfig = DEFAULT_CONFIG,
     dtype=jnp.float32,
     project: Optional[Callable[[SceneParams], SceneParams]] = None,
+    fused: str = "auto",
 ):
     """Build a jitted SPMD training step for inverse rendering:
 
@@ -144,7 +184,9 @@ def make_sharded_train_step(
     (psum'd) so the optimizer update runs identically on every device.
     `project` optionally re-projects params after the update (e.g. radii > 0).
     """
-    loss_fn = make_sharded_loss(structure, mesh, height, width, cfg, dtype)
+    loss_fn = make_sharded_loss(
+        structure, mesh, height, width, cfg, dtype, fused=fused
+    )
 
     @jax.jit
     def step(params: SceneParams, opt_state, target):

@@ -55,15 +55,18 @@ from loltracer_tpu.render.pallas_scene import (
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
 _NORMAL_KS = ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0), (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0))
-CAM_SIZE = 15  # ro(3) right(3) up(3) fwd(3) half_w half_h pixel_rad
+CAM_SIZE = 16  # ro(3) right(3) up(3) fwd(3) half_w half_h pixel_rad row0
 
 
 def camera_pack(params: SceneParams, height: int, width: int,
-                cfg: RenderConfig) -> jnp.ndarray:
-    """[15] f32: the camera-derived scalars the kernels consume. Pure jnp and
+                cfg: RenderConfig, row0=0.0) -> jnp.ndarray:
+    """[16] f32: the camera-derived scalars the kernels consume. Pure jnp and
     differentiable — the backward rule chains the kernel's camera-pack
     cotangent through this function's vjp, so fov/point/direction gradients
-    match the jnp path's camera_rays (render/camera.py)."""
+    match the jnp path's camera_rays (render/camera.py). `row0` is the first
+    image row this call renders (row-sharded SPMD: each device passes its
+    shard's offset; `height` stays the FULL image height so NDC mapping is
+    global)."""
     d = params.cam_direction.astype(jnp.float32)
     d = d / jnp.sqrt(jnp.maximum(jnp.sum(d * d), 1e-30))
     upg = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
@@ -80,7 +83,10 @@ def camera_pack(params: SceneParams, height: int, width: int,
             rt,
             up,
             d,
-            jnp.stack([hw, hh, pixel_rad]),
+            jnp.stack([
+                hw, hh, pixel_rad,
+                jnp.asarray(row0, jnp.float32).reshape(()),
+            ]),
         ]
     )
 
@@ -99,7 +105,7 @@ def _rays_from_cam(cam, height, width, ti, tj):
     half_w, half_h = cam[12], cam[13]
     rows = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
     cols = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    y = (ti * TILE_H + rows).astype(f32)
+    y = cam[15] + (ti * TILE_H + rows).astype(f32)  # cam[15] = row offset
     x = (tj * TILE_W + cols).astype(f32)
     vx = (x + 0.5) / width * 2.0 - 1.0
     vy = 1.0 - (y + 0.5) / height * 2.0
@@ -508,16 +514,21 @@ def num_residuals(structure: SceneStructure) -> int:
     return 4 + 2 * structure.num_lights
 
 
-def make_fwd_call(structure, height, width, cfg, interpret=False):
-    """The fused forward pallas_call: (cam [15], *fields) ->
-    (img [3, ph, pw], residuals [R, ph, pw])."""
+def make_fwd_call(structure, height, width, cfg, interpret=False,
+                  full_height=None):
+    """The fused forward pallas_call: (cam [16], *fields) ->
+    (img [3, ph, pw], residuals [R, ph, pw]). `height` is the rows THIS call
+    renders; `full_height` (default: height) is the whole image's height for
+    NDC mapping — row-sharded callers pass their shard height plus the
+    global height, with the shard's first row in cam[15]."""
     fields = active_fields(structure)
     n_res = num_residuals(structure)
     gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
     ph, pw = gh * TILE_H, gw * TILE_W
     return pl.pallas_call(
         functools.partial(
-            _train_fwd_kernel, structure, cfg, height, width, fields
+            _train_fwd_kernel, structure, cfg, full_height or height, width,
+            fields,
         ),
         grid=(gh, gw),
         in_specs=[_smem()] + [_smem() for _ in fields],
@@ -531,9 +542,10 @@ def make_fwd_call(structure, height, width, cfg, interpret=False):
     )
 
 
-def make_bwd_call(structure, height, width, cfg, interpret=False):
+def make_bwd_call(structure, height, width, cfg, interpret=False,
+                  full_height=None):
     """The fused backward pallas_call: (cam, *fields, residuals [R, ph, pw],
-    cotangent [3, ph, pw]) -> (dcam [15], *dfields), with the parameter
+    cotangent [3, ph, pw]) -> (dcam [16], *dfields), with the parameter
     gradients accumulated across the sequential grid."""
     from loltracer_tpu.render.pallas_scene import field_shape
 
@@ -543,7 +555,8 @@ def make_bwd_call(structure, height, width, cfg, interpret=False):
     grad_shapes = [field_shape(structure, f) for f in fields]
     return pl.pallas_call(
         functools.partial(
-            _train_bwd_kernel, structure, cfg, height, width, fields
+            _train_bwd_kernel, structure, cfg, full_height or height, width,
+            fields,
         ),
         grid=(gh, gw),
         in_specs=[_smem()] + [_smem() for _ in fields]
@@ -564,11 +577,18 @@ def make_training_renderer(
     width: int,
     cfg: RenderConfig = DEFAULT_CONFIG,
     interpret: bool = False,
+    full_height: int = None,
+    with_row_offset: bool = False,
 ) -> Callable[[SceneParams], jnp.ndarray]:
     """Compile `params -> [H, W, 3] f32` through the fused Pallas training
     kernels, differentiable w.r.t. every scene parameter via custom_vjp.
     Requires a compiled (non-instanced) scene and the envelope shadow
-    estimator (the production inverse-rendering path)."""
+    estimator (the production inverse-rendering path).
+
+    Row-sharded SPMD use (parallel/sharded.py): pass `height` = this
+    shard's rows, `full_height` = the whole image's height, and
+    `with_row_offset=True` — the returned function then takes
+    (params, row0) where row0 is the shard's first image row."""
     if structure.instanced:
         raise ValueError(
             "fused training kernels require a compiled (non-instanced) scene"
@@ -581,11 +601,12 @@ def make_training_renderer(
     fields = active_fields(structure)
     gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
     ph, pw = gh * TILE_H, gw * TILE_W
-    fwd_call = make_fwd_call(structure, height, width, cfg, interpret)
-    bwd_call = make_bwd_call(structure, height, width, cfg, interpret)
+    fh = full_height or height
+    fwd_call = make_fwd_call(structure, height, width, cfg, interpret, fh)
+    bwd_call = make_bwd_call(structure, height, width, cfg, interpret, fh)
 
-    def cam_pack_fn(params: SceneParams) -> jnp.ndarray:
-        return camera_pack(params, height, width, cfg)
+    def cam_pack_fn(params: SceneParams, row0) -> jnp.ndarray:
+        return camera_pack(params, fh, width, cfg, row0)
 
     def field_args(params: SceneParams):
         return [
@@ -594,18 +615,18 @@ def make_training_renderer(
         ]
 
     @jax.custom_vjp
-    def render(params: SceneParams) -> jnp.ndarray:
-        img, _ = fwd_call(cam_pack_fn(params), *field_args(params))
+    def render(params: SceneParams, row0) -> jnp.ndarray:
+        img, _ = fwd_call(cam_pack_fn(params, row0), *field_args(params))
         return jnp.moveaxis(img, 0, -1)[:height, :width, :]
 
-    def render_fwd(params):
-        cam = cam_pack_fn(params)
+    def render_fwd(params, row0):
+        cam = cam_pack_fn(params, row0)
         img, res = fwd_call(cam, *field_args(params))
         out = jnp.moveaxis(img, 0, -1)[:height, :width, :]
-        return out, (params, cam, res)
+        return out, (params, row0, cam, res)
 
     def render_bwd(saved, ct):
-        params, cam, res = saved
+        params, row0, cam, res = saved
         # zero-pad the cotangent into tile-aligned planes; padded pixels
         # contribute nothing
         ctp = jnp.moveaxis(ct.astype(jnp.float32), -1, 0)
@@ -616,19 +637,29 @@ def make_training_renderer(
         outs = bwd_call(cam, *field_args(params), res, ctp)
         dcam, dfields = outs[0], outs[1:]
 
-        # chain the camera-pack cotangent through the (pure jnp) pack
-        _, cam_vjp = jax.vjp(cam_pack_fn, params)
+        # chain the camera-pack cotangent through the (pure jnp) pack;
+        # row0 is positional (non-trainable) and gets a zero cotangent
+        _, cam_vjp = jax.vjp(lambda p: cam_pack_fn(p, row0), params)
         (dparams,) = cam_vjp(dcam)
         updates = {}
         for f, g in zip(fields, dfields):
             prev = getattr(dparams, f)
             updates[f] = (prev + g).astype(prev.dtype)
-        return (dataclasses.replace(dparams, **updates),)
+        return (
+            dataclasses.replace(dparams, **updates),
+            jnp.zeros_like(jnp.asarray(row0, jnp.float32)),
+        )
 
     render.defvjp(render_fwd, render_bwd)
 
+    if with_row_offset:
+        def renderer_rows(params: SceneParams, row0) -> jnp.ndarray:
+            return render(params, jnp.asarray(row0, jnp.float32))
+
+        return renderer_rows
+
     @jax.jit
     def renderer(params: SceneParams) -> jnp.ndarray:
-        return render(params)
+        return render(params, jnp.float32(0.0))
 
     return renderer
