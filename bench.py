@@ -71,9 +71,14 @@ def main():
 
     # Default to the fused Pallas tier on TPU for BOTH modes (fwd: the fused
     # forward renderer; fwdbwd: the custom_vjp training kernels); jnp
-    # elsewhere.
+    # elsewhere. resolve_march_backend respects jax_default_device — under
+    # the axon plugin jax.default_backend() says "tpu" even on CPU-pinned
+    # runs, which would otherwise build non-interpret Pallas kernels on CPU.
+    from loltracer_tpu.render.backend import resolve_march_backend
+
     backend = os.environ.get(
-        "BENCH_BACKEND", "pallas" if jax.default_backend() == "tpu" else "jnp"
+        "BENCH_BACKEND",
+        "pallas" if resolve_march_backend("auto") == "pallas" else "jnp",
     )
 
     # Outputs are reduced to scalars ON DEVICE so the timing measures the

@@ -28,12 +28,30 @@ import os
 from typing import Optional
 
 
+def _already_initialized() -> bool:
+    import jax
+
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        return bool(is_init())
+    # older jax: probe the global client state
+    state = getattr(jax.distributed, "global_state", None)
+    return state is not None and getattr(state, "client", None) is not None
+
+
 def maybe_initialize() -> bool:
     """Initialize jax.distributed from the environment; returns True when a
-    multi-process runtime was started. Safe to call multiple times."""
+    multi-process runtime was started (or already is). Safe to call multiple
+    times: a second call is a no-op (jax.distributed.initialize itself
+    raises on re-initialization, and cli.main + bench_scaling can both run
+    in one process)."""
     import jax
 
     coordinator = os.environ.get("LOLTRACE_COORDINATOR")
+    if (coordinator or os.environ.get("LOLTRACE_DISTRIBUTED") == "1") and (
+        _already_initialized()
+    ):
+        return True
     if coordinator:
         num = int(os.environ["LOLTRACE_NUM_PROCESSES"])
         pid = int(os.environ["LOLTRACE_PROCESS_ID"])

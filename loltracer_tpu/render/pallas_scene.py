@@ -196,9 +196,14 @@ def pack_instanced_spheres(params):
                                  128-sphere block is spatially compact;
                                  lane-padded with r = -1e30 so padded
                                  entries never win the min
-      bounds  [4, 1, nb_pad]     per-block bounding spheres (cx, cy, cz,
-                                 R) as lane vectors, padded with R = -1e30
-                                 so padded blocks always cull
+      bounds  [5, 1, nb_pad]     per-block bounds as lane vectors: rows
+                                 0-2 = bound center (cx, cy, cz), row 3 =
+                                 lower-bound radius R (dist-to-center - R
+                                 lower-bounds every member distance), row
+                                 4 = upper-bound offset S (dist-to-center
+                                 + S upper-bounds the block's best
+                                 distance); padded with R = -1e30 /
+                                 S = +1e30 so padded blocks always cull
 
     The bounds drive per-tile block culling in InstancedScene.dist_only:
     for every ray, dist-to-block-bound lower-bounds every sphere distance
@@ -261,7 +266,7 @@ class InstancedScene:
                  plane_vals):
         self.structure = structure
         self.sphere_ref = sphere_ref  # [4, nblocks, 128] VMEM
-        self.bounds_ref = bounds_ref  # [4, 1, nb_pad] VMEM block bounds
+        self.bounds_ref = bounds_ref  # [5, 1, nb_pad] VMEM block bounds
         self.plane_vals = list(plane_vals)
         self.nblocks = cdiv(structure.num_spheres, INSTANCED_LANES)
 
@@ -287,7 +292,13 @@ class InstancedScene:
         dbz = pz - bz
         dc = jnp.sqrt(dbx * dbx + dby * dby + dbz * dbz)  # (COL, nb_pad)
         u = jnp.min(dc + bS, axis=-1, keepdims=True)  # (COL, 1)
-        relevant = jnp.any(dc - bR < u, axis=0, keepdims=True)  # (1, nb_pad)
+        # NON-STRICT <=: for a block holding exactly one real sphere,
+        # bR == -bS (== off + r == r - off == r), so dc - bR == dc + bS == u
+        # exactly and a strict '<' would cull the block against its own
+        # upper bound — silently deleting the sphere from the SDF
+        # (ADVICE r2 high finding; regression: tests/test_instanced.py
+        # single-sphere-block cases).
+        relevant = jnp.any(dc - bR <= u, axis=0, keepdims=True)  # (1, nb_pad)
         relevant_f = jnp.where(relevant, 1.0, 0.0)
         lane = lax.broadcasted_iota(
             jnp.int32, relevant_f.shape, 1

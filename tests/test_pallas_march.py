@@ -126,6 +126,28 @@ def test_instanced_march_kernel_matches_jnp():
     np.testing.assert_allclose(pal.t_close, ref.t_close, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n", [1, 129])
+def test_instanced_single_sphere_block_not_self_culled(n):
+    """Regression (ADVICE r2 high): a block with exactly ONE real sphere has
+    bound radius R == -S exactly, so dist-to-center - R equals the block's
+    own upper bound; a strict '<' relevance test culled such blocks against
+    themselves and the sphere silently vanished from the SDF (n == 1 gave
+    dist = inf everywhere). n = 129 puts the lone sphere in the second
+    block."""
+    from loltracer_tpu.scenes import instanced_spheres
+
+    scene = instanced_spheres(n=n, seed=7)
+    cfg = RenderConfig()
+    ro, rd = camera_rays(scene.params, H, W, cfg)
+    sdf = make_scene_sdf(scene.structure)
+    ref = march(sdf, scene.params, ro, rd, cfg)
+    pal = make_pallas_march(scene.structure, cfg, interpret=True)(
+        scene.params, ro, rd
+    )
+    np.testing.assert_allclose(pal.t, ref.t, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(pal.t_query, ref.t_query, atol=1e-4, rtol=1e-4)
+
+
 def test_instanced_shadow_kernel_matches_scan():
     """The instanced frozen shadow march matches the jnp scan's (res, t*)."""
     from jax import lax
