@@ -80,6 +80,23 @@ class RenderConfig:
     #                from O(steps) to O(1) SDF evals.
     shadow_grad: str = "exact"
 
+    # Step clamp for INSTANCED scenes (None = exact full SDF): the march
+    # evaluates the step-clamped scene distance min(d, step_clamp) instead
+    # of d. Semantically simple (one extra min, reproduced identically by
+    # the jnp/banded oracle paths and the Pallas traversal) and
+    # conservative: steps never overshoot, hits land on the same surfaces
+    # within epsilon, and every quantity that consumes small distances —
+    # hit detection, penumbra minima (w*d/t < 1 requires d << clamp),
+    # normal taps, coverage alpha (s ~ pixel_rad) — sits in the d <
+    # step_clamp regime where the value is EXACT. What changes is only the
+    # free-space step SIZE (clamped to step_clamp), i.e. more, shorter
+    # steps across empty space. The payoff on TPU: the traversal's
+    # candidate ball shrinks from (scene-dependent upper bound + block
+    # radius) to (step_clamp + block radius), cutting window evaluations
+    # several-fold (render/pallas_scene.py InstancedScene). Ignored for
+    # compiled (non-instanced) structures.
+    step_clamp: float = None
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

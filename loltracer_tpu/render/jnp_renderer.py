@@ -104,8 +104,9 @@ def render_rays(
     """Render arbitrary ray batches: ro [3] or [..., 3], rd [..., 3] ->
     gamma-corrected RGB [..., 3]. With cfg.antialias and a pixel_rad
     (see pixel_radius), silhouettes get soft differentiable coverage."""
-    sdf = make_scene_sdf(structure)
-    sdf_id = make_scene_sdf_with_id(structure)
+    clamp = cfg.step_clamp if structure.instanced else None
+    sdf = make_scene_sdf(structure, clamp)
+    sdf_id = make_scene_sdf_with_id(structure, clamp)
 
     use_aa = cfg.antialias and pixel_rad is not None
     march_fn = _select_march(structure, ro, rd, cfg)

@@ -4,14 +4,23 @@ The differentiable render path (render/march.py intersect_aa) stop-gradients
 the ENTIRE march result and re-attaches gradients via the implicit-function
 theorem at the frozen hit distance. That makes the march — up to 256 full
 scene-SDF evaluations per ray (naive_renderer.c:46-69) — a pure value
-computation, so it can run as a fused Pallas kernel with per-(8,128)-tile
-early exit without changing gradient semantics at all: sky/converged tiles
-stop after a few steps, whereas the whole-image `lax.while_loop` formulation
-runs every pixel until the globally worst ray finishes.
+computation, so it can run as a fused Pallas kernel with per-tile early exit
+without changing gradient semantics at all: sky/converged tiles stop after a
+few steps, whereas the whole-image `lax.while_loop` formulation runs every
+pixel until the globally worst ray finishes.
 
 Semantics match render/march.py `march` exactly per pixel (same update
 order, same done-freezing, same closest-approach tracking for the soft
 coverage AA), differing only in op scheduling (rsqrt-free; identical math).
+
+Two layouts:
+
+- compiled structures: (8, 128) pixel tiles, scene scalars from SMEM
+  (pallas_scene.ScalarScene) — the lane axis is the new SSE;
+- instanced structures: each 32x16 pixel patch is one (1, COL) lane-packed
+  ray row, marched against VMEM sphere blocks through the bound-guided
+  traversal (pallas_scene.InstancedScene), with the not-done mask passed as
+  `active` so finished rays stop pinning their blocks.
 
 Lowering/config quirks shared with pallas_renderer.py: f32 done flags
 instead of i1 loop-carried vectors, concrete-layout zero inits (see
@@ -53,26 +62,36 @@ def _build_geom_scene(structure, fields, refs):
     structures stream 128-sphere blocks from one VMEM ref (+ optional SMEM
     plane_y)."""
     if structure.instanced:
-        sphere_ref, bounds_ref = refs[0], refs[1]
-        n = 2
+        sphere_ref, mu_ref, blk_ref = refs[0], refs[1], refs[2]
+        n = 3
         plane_vals = []
         if structure.num_planes:
-            plane_vals = [refs[2][i] for i in range(structure.num_planes)]
-            n = 3
-        return InstancedScene(structure, sphere_ref, bounds_ref, plane_vals), n
+            plane_vals = [refs[3][i] for i in range(structure.num_planes)]
+            n = 4
+        return (
+            InstancedScene(structure, sphere_ref, mu_ref, blk_ref, plane_vals),
+            n,
+        )
     geom_refs = dict(zip(fields, refs[: len(fields)]))
     scn = ScalarScene(structure, read_param_values(structure, geom_refs))
     return scn, len(fields)
 
 
+def _planes(structure, ref, n):
+    """The n leading channel planes of a ray ref in the structure's layout:
+    (1, COL) lane rows for instanced, (8, 128) tiles for compiled."""
+    if structure.instanced:
+        return tuple(ref[i:i + 1, :] for i in range(n))
+    return tuple(ref[i, :, :] for i in range(n))
+
+
 def _march_kernel(structure, cfg, fields, ro_ref, *rest):
     scn, n = _build_geom_scene(structure, fields, rest)
     rd_ref, out_ref = rest[n], rest[n + 1]
+    clamp = cfg.step_clamp if structure.instanced else None
 
     ro_x, ro_y, ro_z = ro_ref[0], ro_ref[1], ro_ref[2]
-    rdx = rd_ref[0, :, :]
-    rdy = rd_ref[1, :, :]
-    rdz = rd_ref[2, :, :]
+    rdx, rdy, rdz = _planes(structure, rd_ref, 3)
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
     inf = zeros + jnp.inf
 
@@ -83,7 +102,10 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
     def body(c):
         step, t, t_query, s_min, t_close, done_f = c
         done = done_f > 0.5
-        d = scn.dist_only(ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz)
+        d = scn.dist_only(
+            ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
+            active=~done, step_clamp=clamp,
+        )
         new_t = t + d
         # angular closest approach min_i d_i/t_i (march.py:83-92)
         track = (~done) & (t > 0.0)
@@ -100,19 +122,21 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
     _, t, t_query, s_min, t_close, _ = lax.while_loop(
         cond, body, (0, zeros, zeros, inf, zeros, zeros)
     )
-    out_ref[0, :, :] = t
-    out_ref[1, :, :] = t_query
-    out_ref[2, :, :] = s_min
-    out_ref[3, :, :] = t_close
+    for i, v in enumerate((t, t_query, s_min, t_close)):
+        if structure.instanced:
+            out_ref[i:i + 1, :] = v
+        else:
+            out_ref[i, :, :] = v
 
 
 def _shadow_kernel(structure, cfg, fields, *refs):
     scn, n = _build_geom_scene(structure, fields, refs)
     ro_ref, rd_ref, maxd_ref, out_ref = refs[n: n + 4]
 
-    rox, roy, roz = ro_ref[0, :, :], ro_ref[1, :, :], ro_ref[2, :, :]
-    rdx, rdy, rdz = rd_ref[0, :, :], rd_ref[1, :, :], rd_ref[2, :, :]
-    max_dist = maxd_ref[0, :, :]
+    clamp = cfg.step_clamp if structure.instanced else None
+    rox, roy, roz = _planes(structure, ro_ref, 3)
+    rdx, rdy, rdz = _planes(structure, rd_ref, 3)
+    (max_dist,) = _planes(structure, maxd_ref, 1)
     zeros = czero(rdx) + czero(rdy) + czero(rdz) + czero(rox)
     inf = zeros + jnp.inf
 
@@ -123,7 +147,10 @@ def _shadow_kernel(structure, cfg, fields, *refs):
     def body(c):
         step, res, t, t_star, done_f = c
         done = done_f > 0.5
-        d = scn.dist_only(rox + t * rdx, roy + t * rdy, roz + t * rdz)
+        d = scn.dist_only(
+            rox + t * rdx, roy + t * rdy, roz + t * rdz,
+            active=~done, step_clamp=clamp,
+        )
         live = t > 0.0
         safe_t = jnp.where(live, t, 1.0)
         # first-iteration t == 0 semantics of shading.py soft_shadow:
@@ -142,31 +169,46 @@ def _shadow_kernel(structure, cfg, fields, *refs):
     _, res, _, t_star, _ = lax.while_loop(
         cond, body, (0, zeros + 1.0, zeros, zeros, zeros)
     )
-    out_ref[0, :, :] = res
-    out_ref[1, :, :] = t_star
+    for i, v in enumerate((res, t_star)):
+        if structure.instanced:
+            out_ref[i:i + 1, :] = v
+        else:
+            out_ref[i, :, :] = v
 
 
-# Rays per column-layout tile (instanced kernels). 512 keeps the ~8 live
-# (COL, 128) sphere-block temporaries + loop carries inside the 16MB VMEM
-# budget (1024 overflowed by ~0.4MB) and halves the early-exit granularity.
+# Rays per lane-packed row tile (instanced kernels) and its spatial
+# footprint: one 32x16 pixel patch per tile (P_H * P_W == COL). Square-ish
+# patches keep a tile's rays angularly coherent, so the block-relevance
+# union in InstancedScene.dist_only stays small — 4-row x 128-column strips
+# spanned so much of the image width that most sphere blocks stayed
+# relevant to SOME ray and the per-tile culling bought almost nothing
+# (52.9 krays/s, round-2 verdict).
 COL = 512
+P_H = 32
+P_W = 16
 
 
-def _to_columns(arr, gh, gw):
-    """(C, ph, pw) -> (C, gh*gw*TILE_H*TILE_W, 1): tile-major pixel columns
-    for the instanced kernels (see pallas_scene.InstancedScene); each
-    spatial (8, 128) tile contributes TILE_H*TILE_W/COL consecutive column
-    tiles."""
+def _to_columns(arr, gph, gpw):
+    """(C, ph, pw) -> (C, gph*gpw*COL): patch-major lane-packed rays for the
+    instanced kernels (see pallas_scene.InstancedScene); each spatial
+    (P_H, P_W) patch contributes one COL-ray row tile."""
     C = arr.shape[0]
-    a = arr.reshape(C, gh, TILE_H, gw, TILE_W).transpose(0, 1, 3, 2, 4)
-    return a.reshape(C, gh * gw * TILE_H * TILE_W, 1)
+    a = arr.reshape(C, gph, P_H, gpw, P_W).transpose(0, 1, 3, 2, 4)
+    return a.reshape(C, gph * gpw * COL)
 
 
-def _from_columns(a, gh, gw):
+def _from_columns(a, gph, gpw):
     """Inverse of _to_columns."""
     C = a.shape[0]
-    a = a.reshape(C, gh, gw, TILE_H, TILE_W).transpose(0, 1, 3, 2, 4)
-    return a.reshape(C, gh * TILE_H, gw * TILE_W)
+    a = a.reshape(C, gph, gpw, P_H, P_W).transpose(0, 1, 3, 2, 4)
+    return a.reshape(C, gph * P_H, gpw * P_W)
+
+
+def _row_spec(ch):
+    """BlockSpec for one (ch, COL) lane-row tile of a (ch, NP*COL) array.
+    ch equals the array's first dim, so the (ch, COL) block satisfies the
+    Mosaic last-two-dims rule (ch == full dim, COL % 128 == 0)."""
+    return pl.BlockSpec((ch, COL), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
 def _geom_specs_and_args(structure, fields, params):
@@ -174,12 +216,13 @@ def _geom_specs_and_args(structure, fields, params):
     SMEM scalars for compiled structures; a VMEM [4, nblocks, 128] sphere
     pack (+ SMEM plane_y) for instanced ones."""
     if structure.instanced:
-        spheres, bounds = pack_instanced_spheres(params)
+        spheres_t, mu_bounds, blk_bounds = pack_instanced_spheres(params)
         specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        args = [spheres, bounds]
+        args = [spheres_t, mu_bounds, blk_bounds]
         if structure.num_planes:
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(jnp.asarray(params.plane_y).astype(jnp.float32))
@@ -189,6 +232,16 @@ def _geom_specs_and_args(structure, fields, params):
         jnp.asarray(getattr(params, f)).astype(jnp.float32) for f in fields
     ]
     return specs, args
+
+
+def _pad_dims(structure, height, width):
+    """(gh, gw, ph, pw): grid and padded image dims in the structure's
+    tiling ((P_H, P_W) patches for instanced, (8, 128) tiles otherwise)."""
+    if structure.instanced:
+        gh, gw = cdiv(height, P_H), cdiv(width, P_W)
+        return gh, gw, gh * P_H, gw * P_W
+    gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
+    return gh, gw, gh * TILE_H, gw * TILE_W
 
 
 def make_pallas_shadow_march(
@@ -208,8 +261,7 @@ def make_pallas_shadow_march(
 
     def shadow_fn(params: SceneParams, ro, rd, max_dist):
         height, width = rd.shape[0], rd.shape[1]
-        gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
-        ph, pw = gh * TILE_H, gw * TILE_W
+        gh, gw, ph, pw = _pad_dims(structure, height, width)
         rop = jnp.moveaxis(ro.astype(jnp.float32), -1, 0)  # (3, H, W)
         rdp = jnp.moveaxis(rd.astype(jnp.float32), -1, 0)
         mdp = max_dist.astype(jnp.float32)[None]  # (1, H, W)
@@ -221,28 +273,19 @@ def make_pallas_shadow_march(
 
         in_specs, args = _geom_specs_and_args(structure, fields, params)
         if structure.instanced:
-            nt = gh * gw * (TILE_H * TILE_W // COL)
+            nt = gh * gw
             rop, rdp, mdp = (
                 _to_columns(rop, gh, gw),
                 _to_columns(rdp, gh, gw),
                 _to_columns(mdp, gh, gw),
             )
-            for ch in (3, 3, 1):
-                in_specs.append(
-                    pl.BlockSpec(
-                        (ch, COL, 1), lambda i: (0, i, 0),
-                        memory_space=pltpu.VMEM,
-                    )
-                )
+            in_specs.extend([_row_spec(3), _row_spec(3), _row_spec(1)])
             call = pl.pallas_call(
                 kernel,
                 grid=(nt,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec(
-                    (2, COL, 1), lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct((2, nt * COL, 1), jnp.float32),
+                out_specs=_row_spec(2),
+                out_shape=jax.ShapeDtypeStruct((2, nt * COL), jnp.float32),
                 interpret=interpret,
                 name="lol_shadow_march_instanced",
             )
@@ -289,8 +332,7 @@ def make_pallas_march(
 
     def march_fn(params: SceneParams, ro, rd) -> MarchResult:
         height, width = rd.shape[0], rd.shape[1]
-        gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
-        ph, pw = gh * TILE_H, gw * TILE_W
+        gh, gw, ph, pw = _pad_dims(structure, height, width)
         rdp = jnp.moveaxis(rd.astype(jnp.float32), -1, 0)  # (3, H, W)
         if (ph, pw) != (height, width):
             # edge-replicated rays: padded lanes march real geometry, so the
@@ -303,24 +345,16 @@ def make_pallas_march(
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]  # ro
         in_specs.extend(geom_specs)
         if structure.instanced:
-            # column layout: rays as (COL, 1) tiles, 1-D grid over tiles
-            nt = gh * gw * (TILE_H * TILE_W // COL)
+            # lane-row layout: rays as (1, COL) rows, 1-D grid over patches
+            nt = gh * gw
             rdc = _to_columns(rdp, gh, gw)
-            in_specs.append(
-                pl.BlockSpec(
-                    (3, COL, 1), lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+            in_specs.append(_row_spec(3))
             call = pl.pallas_call(
                 kernel,
                 grid=(nt,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec(
-                    (4, COL, 1), lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct((4, nt * COL, 1), jnp.float32),
+                out_specs=_row_spec(4),
+                out_shape=jax.ShapeDtypeStruct((4, nt * COL), jnp.float32),
                 interpret=interpret,
                 name="lol_march_instanced",
             )

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from loltracer_tpu.scene import SceneStructure
 
@@ -161,7 +163,14 @@ def array_param_values(structure: SceneStructure, params, fields=None) -> Dict:
     return values
 
 
-INSTANCED_LANES = 128  # sphere block width = the VPU lane count
+INSTANCED_LANES = 128   # spheres per eval window (the pairwise sublane dim)
+INSTANCED_GROUP = 32    # spheres per cull micro-block (bound granularity)
+# Conservative slack added to micro-block/block bound radii: the bound
+# passes compute |p - ctr| via the MXU expansion |c|^2 - 2c.p + |p|^2,
+# whose f32 cancellation error at |c| ~ 2e2 is ~3e-2 — the margin keeps
+# every bound a TRUE bound so culling stays exact (the sphere evaluation
+# itself stays componentwise on the VPU for bitwise parity with jnp).
+BOUND_MARGIN = 0.0625
 
 
 def _morton_codes(pos):
@@ -172,7 +181,13 @@ def _morton_codes(pos):
     never changes results)."""
     lo = jnp.min(pos, axis=0)
     hi = jnp.max(pos, axis=0)
-    q = (pos - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0
+    # ISOTROPIC normalization (one scale for all axes): per-axis scaling
+    # would stretch the shortest axis's cells ~8x thinner on this kind of
+    # slab-shaped scene, destroying the real-space locality of consecutive
+    # codes — the whole point of the sort (group bounds got ~25% looser,
+    # measured round 3).
+    scale = jnp.maximum(jnp.max(hi - lo), 1e-9)
+    q = (pos - lo) / scale * 1023.0
     q = jnp.clip(q, 0.0, 1023.0).astype(jnp.uint32)
 
     def part1by2(x):
@@ -189,30 +204,72 @@ def _morton_codes(pos):
     )
 
 
+def _group_bounds(pos, rad, group, margin):
+    """Per-group bounds over consecutive `group`-sphere runs of a padded,
+    Morton-sorted SoA, as a (ngroups_pad8, 8) row table:
+
+      columns: cx cy cz R S |ctr|^2 0 0
+
+    R = max(|c - ctr| + r) + margin: dist-to-center - R lower-bounds every
+    member distance. S = min(|c - ctr| - r) + margin: dist-to-center + S
+    upper-bounds the group's best distance. Padded groups get R = -1e30 /
+    S = +1e30 so they never become eligible and never tighten the upper
+    bound."""
+    n = pos.shape[0] // group
+    posg = pos.reshape(n, group, 3)
+    radg = rad.reshape(n, group)
+    real = radg > -1e29
+    cnt = jnp.maximum(jnp.sum(real, axis=1, keepdims=True), 1)
+    ctr = jnp.sum(jnp.where(real[..., None], posg, 0.0), axis=1) / cnt
+    off = jnp.sqrt(jnp.sum((posg - ctr[:, None, :]) ** 2, axis=-1))
+    any_real = jnp.any(real, axis=1)
+    bound_r = jnp.where(
+        any_real,
+        jnp.max(jnp.where(real, off + radg, -jnp.inf), axis=1) + margin,
+        -1e30,
+    )
+    bound_s = jnp.where(
+        any_real,
+        jnp.min(jnp.where(real, off - radg, jnp.inf), axis=1) + margin,
+        1e30,
+    )
+    n_pad = cdiv(n, 8) * 8
+    table = jnp.zeros((n_pad, 8), jnp.float32)
+    table = table.at[:, 3].set(-1e30)
+    table = table.at[:, 4].set(1e30)
+    table = table.at[:n, 0].set(ctr[:, 0])
+    table = table.at[:n, 1].set(ctr[:, 1])
+    table = table.at[:n, 2].set(ctr[:, 2])
+    table = table.at[:n, 3].set(bound_r)
+    table = table.at[:n, 4].set(bound_s)
+    table = table.at[:n, 5].set(jnp.sum(ctr * ctr, axis=-1))
+    return table
+
+
 def pack_instanced_spheres(params):
-    """Pack the instanced sphere SoA into the kernel layouts:
+    """Pack the instanced sphere SoA into the traversal kernel layouts
+    (all sublane-major row tables, so any 8-aligned window slices out as a
+    (rows, 1) sublane vector with no in-kernel transpose):
 
-      spheres [4, nblocks, 128]  (rows x, y, z, r), Morton-sorted so each
-                                 128-sphere block is spatially compact;
-                                 lane-padded with r = -1e30 so padded
-                                 entries never win the min
-      bounds  [5, 1, nb_pad]     per-block bounds as lane vectors: rows
-                                 0-2 = bound center (cx, cy, cz), row 3 =
-                                 lower-bound radius R (dist-to-center - R
-                                 lower-bounds every member distance), row
-                                 4 = upper-bound offset S (dist-to-center
-                                 + S upper-bounds the block's best
-                                 distance); padded with R = -1e30 /
-                                 S = +1e30 so padded blocks always cull
+      spheres_t  [ns_pad, 8]   columns x y z r |c|^2 0 0 0, Morton-sorted
+                               so consecutive runs are spatially compact;
+                               padded rows have r = -1e30 (never win)
+      mu_bounds  [nmu_pad, 8]  bounds per INSTANCED_GROUP-sphere micro
+                               block (_group_bounds): the CULL granularity
+      blk_bounds [nbk_pad, 8]  bounds per INSTANCED_LANES-sphere block:
+                               the cheap upper-bound (u) pass granularity
 
-    The bounds drive per-tile block culling in InstancedScene.dist_only:
-    for every ray, dist-to-block-bound lower-bounds every sphere distance
-    in the block, so a block whose bound beats no ray's running min is
-    skipped outright — the BVH-free analog of a two-level hierarchy, with
-    the hierarchy implicit in the Morton order."""
+    The tables drive the bound-guided traversal in
+    InstancedScene.dist_only: micro blocks are culled against the
+    block-level upper bound, and each visited micro block is evaluated via
+    a 128-sphere Morton WINDOW around it (one (128, COL) broadcast), which
+    also retires every micro block the window covers — fine-grained
+    culling at coarse, VPU-friendly evaluation granularity. ns_pad is a
+    multiple of INSTANCED_LANES (hence of INSTANCED_GROUP) so both group
+    tables tile evenly and every window is in range and 8-aligned."""
     ns = params.sphere_radius.shape[0]
-    nb = max(1, cdiv(ns, INSTANCED_LANES))
-    pad = nb * INSTANCED_LANES - ns
+    ns_pad = max(INSTANCED_LANES, cdiv(ns, INSTANCED_LANES) * INSTANCED_LANES)
+    pad = ns_pad - ns
     pos = jnp.asarray(params.sphere_point, jnp.float32)
     rad = jnp.asarray(params.sphere_radius, jnp.float32)
     if ns:
@@ -221,109 +278,185 @@ def pack_instanced_spheres(params):
         rad = rad[order]
     pos = jnp.concatenate([pos, jnp.zeros((pad, 3), jnp.float32)])
     rad = jnp.concatenate([rad, jnp.full((pad,), -1e30, jnp.float32)])
-    packed = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], rad])
-    packed = packed.reshape(4, nb, INSTANCED_LANES)
-
-    # per-block bounds: center = mean of real members,
-    # R = max(|c - ctr| + r) (lower-bound radius: dist-to-center - R lower
-    # bounds every member distance), S = min(|c - ctr| - r) (upper-bound
-    # offset: dist-to-center + S upper bounds the block's best distance)
-    posb = pos.reshape(nb, INSTANCED_LANES, 3)
-    radb = rad.reshape(nb, INSTANCED_LANES)
-    real = radb > -1e29
-    cnt = jnp.maximum(jnp.sum(real, axis=1, keepdims=True), 1)
-    ctr = jnp.sum(jnp.where(real[..., None], posb, 0.0), axis=1) / cnt
-    off = jnp.sqrt(jnp.sum((posb - ctr[:, None, :]) ** 2, axis=-1))
-    bound_r = jnp.max(jnp.where(real, off + radb, -1e30), axis=1)
-    bound_s = jnp.min(jnp.where(real, off - radb, 1e30), axis=1)
-    nb_pad = cdiv(nb, INSTANCED_LANES) * INSTANCED_LANES
-    bounds = jnp.zeros((5, 1, nb_pad), jnp.float32)
-    bounds = bounds.at[3].set(-1e30)  # padded blocks: never relevant
-    bounds = bounds.at[4].set(1e30)  # padded blocks: never bound U
-    bounds = bounds.at[0, 0, :nb].set(ctr[:, 0])
-    bounds = bounds.at[1, 0, :nb].set(ctr[:, 1])
-    bounds = bounds.at[2, 0, :nb].set(ctr[:, 2])
-    bounds = bounds.at[3, 0, :nb].set(bound_r)
-    bounds = bounds.at[4, 0, :nb].set(bound_s)
-    return packed, bounds
+    spheres_t = jnp.zeros((ns_pad, 8), jnp.float32)
+    spheres_t = spheres_t.at[:, 0].set(pos[:, 0])
+    spheres_t = spheres_t.at[:, 1].set(pos[:, 1])
+    spheres_t = spheres_t.at[:, 2].set(pos[:, 2])
+    spheres_t = spheres_t.at[:, 3].set(rad)
+    spheres_t = spheres_t.at[:, 4].set(jnp.sum(pos * pos, axis=-1))
+    mu_bounds = _group_bounds(pos, rad, INSTANCED_GROUP, BOUND_MARGIN)
+    blk_bounds = _group_bounds(pos, rad, INSTANCED_LANES, BOUND_MARGIN)
+    return spheres_t, mu_bounds, blk_bounds
 
 
 class InstancedScene:
     """Tile-level scene evaluation for instanced (10k+ sphere) structures:
-    a running min over 128-sphere blocks streamed from a VMEM ref.
+    a bound-guided windowed traversal over the Morton-sorted sphere table.
 
-    The instanced kernels run in COLUMN LAYOUT: a tile's 1024 rays are laid
-    out as (1024, 1) columns (pixels on sublanes), so each sphere block is
-    one natural (1024, 128) broadcast — pixels splat along lanes, the
-    sphere-block lane vector splats along sublanes, and the block argmin is
-    a lane reduction, with no relayout of ray data anywhere. (The
-    pixels-on-lanes (8,128,128) formulation forced a pixel-tile relayout
-    per op and measured 2x SLOWER than whole-image jnp; this one keeps
-    XLA's natural instanced layout while adding per-tile early exit.)
-    Value-only (the differentiable re-attachment runs in banded jnp)."""
+    LAYOUT (round 3, measured on v5e): rays live on LANES as (1, COL) rows
+    — fully packed vector registers, so the march state ops are ~4 cycles
+    each — and sphere/bound data lives in sublane-major row tables
+    (pack_instanced_spheres), so any 8-aligned window slices out as a
+    (rows, 1) sublane vector making the pairwise interaction a natural
+    (rows, COL) broadcast with the min as a sublane reduction. The two
+    layouts this replaces both measured ~100x slower end-to-end:
+    pixels-on-sublanes (COL, 1) columns made every state op a 64-tile
+    strided crawl (~30 us per tile-step with NO scene work), and
+    pixels-on-lanes (8, 128) tiles forced a pixel relayout per pairwise
+    op. Value-only (the differentiable re-attachment runs in banded jnp).
+    """
 
-    def __init__(self, structure: SceneStructure, sphere_ref, bounds_ref,
-                 plane_vals):
+    def __init__(self, structure: SceneStructure, sphere_ref, mu_ref,
+                 blk_ref, plane_vals):
         self.structure = structure
-        self.sphere_ref = sphere_ref  # [4, nblocks, 128] VMEM
-        self.bounds_ref = bounds_ref  # [5, 1, nb_pad] VMEM block bounds
+        self.sphere_ref = sphere_ref  # [ns_pad, 8] VMEM (pack_…_spheres)
+        self.mu_ref = mu_ref          # [nmu_pad, 8] micro-block bounds
+        self.blk_ref = blk_ref        # [nbk_pad, 8] 128-sphere block bounds
         self.plane_vals = list(plane_vals)
-        self.nblocks = cdiv(structure.num_spheres, INSTANCED_LANES)
+        self.ns_pad = sphere_ref.shape[0]
+        self.nmu_pad = mu_ref.shape[0]
 
-    def dist_only(self, px, py, pz):
-        import jax
+    def _pm(self, px, py, pz):
+        """((8, COL) MXU RHS, (1, COL) |p|^2): rows -2px -2py -2pz 0...,
+        so dot(table, pm) + |c|^2_col + |p|^2 = |p - c|^2 for any row
+        table with columns x y z * * (|c|^2 in column 5 for bounds,
+        column 4 for spheres)."""
+        z = czero(px)
+        pm = jnp.concatenate(
+            [-2.0 * px, -2.0 * py, -2.0 * pz, z, z, z, z, z], axis=0
+        )
+        p2 = px * px + py * py + pz * pz
+        return pm, p2
+
+    def dist_only(self, px, py, pz, active=None, step_clamp=None):
+        """Scene min over spheres+planes for every ACTIVE (1, COL) ray —
+        exact, or step-clamped to min(d, step_clamp) (bitwise equal to the
+        jnp oracle's clamp, config.py RenderConfig.step_clamp).
+
+        Traversal (the TPU-native replacement for a BVH descent), all
+        bounds from pack_instanced_spheres' group tables:
+
+        1. Upper-bound pass at 128-sphere-block granularity:
+           u_r = min_b (|p_r - ctr_b| + S_b) >= ray r's final sphere min.
+           Runs once over all blocks; |p - ctr| via the MXU expansion
+           (margins keep it conservative, see BOUND_MARGIN). Under
+           step_clamp the gate tightens to min(u, clamp) — the decisive
+           effect: the candidate ball radius becomes clamp + R instead of
+           the scene's nearest-neighbor spacing + R.
+        2. Micro-block eligibility at INSTANCED_GROUP granularity, in
+           SQUARED space (no sqrt over the (nmu, COL) plane):
+           eligible[m, r] = active_r and |p_r - mctr_m|^2 <= (gate_r + R_m)^2
+           — only groups whose lower bound beats some active ray's gate
+           can contain a winner below the gate.
+        3. Best-first pick loop: visit the micro block with the smallest
+           (squared) center distance over active rays, evaluate the
+           128-sphere Morton WINDOW centered on it with exact componentwise
+           VPU math (one (128, COL) broadcast; bitwise-identical distances
+           to the jnp path), and retire every micro block the window fully
+           covers. Morton compactness + patch coherence end the loop after
+           a few windows per step instead of evaluating all spheres.
+
+        Exactness: every sphere with distance <= gate is inside some
+        eligible micro block (its lower bound is <= its distance), so the
+        evaluated min equals the true min whenever the true min <= gate;
+        u >= true min always, hence the unclamped result is exact, and the
+        clamped result is exactly min(true, clamp) — independent of u.
+
+        `active` ((1, COL) bool) excludes finished rays: a done ray parked
+        on a surface would otherwise keep its neighborhood eligible for
+        every remaining iteration of the enclosing march loop. Results for
+        inactive rays are garbage (the march/shadow bodies discard them).
+
+        Eligibility uses NON-STRICT <= (via squared compare): a group
+        holding exactly one real sphere has R == -S up to margins, so its
+        lower bound can equal the upper bound exactly; a strict '<' would
+        cull it against its own bound and silently delete the sphere from
+        the SDF (ADVICE r2 high finding; regression:
+        tests/test_pallas_march.py single-sphere-block cases). The pack
+        margins make the test strictly conservative anyway.
+        """
         from jax import lax
 
-        # EXACT block culling in one (COL, nb_pad) bound pass per call
-        # (triangle inequality, bounds from pack_instanced_spheres):
-        #   d_lo[r, b] = |p_r - ctr_b| - R_b  <=  every sphere dist in b
-        #   d_hi[r, b] = |p_r - ctr_b| + S_b  >=  block b's best dist
-        # so U_r = min_b d_hi[r, b] upper-bounds ray r's final sphere min,
-        # and a block with d_lo[r, b] >= U_r for EVERY ray in the tile
-        # cannot win any lane — skipping it changes nothing. Morton
-        # ordering (pack time) makes blocks compact enough to cull.
-        bx = self.bounds_ref[0, :, :]  # (1, nb_pad)
-        by = self.bounds_ref[1, :, :]
-        bz = self.bounds_ref[2, :, :]
-        bR = self.bounds_ref[3, :, :]
-        bS = self.bounds_ref[4, :, :]
-        dbx = px - bx
-        dby = py - by
-        dbz = pz - bz
-        dc = jnp.sqrt(dbx * dbx + dby * dby + dbz * dbz)  # (COL, nb_pad)
-        u = jnp.min(dc + bS, axis=-1, keepdims=True)  # (COL, 1)
-        # NON-STRICT <=: for a block holding exactly one real sphere,
-        # bR == -bS (== off + r == r - off == r), so dc - bR == dc + bS == u
-        # exactly and a strict '<' would cull the block against its own
-        # upper bound — silently deleting the sphere from the SDF
-        # (ADVICE r2 high finding; regression: tests/test_instanced.py
-        # single-sphere-block cases).
-        relevant = jnp.any(dc - bR <= u, axis=0, keepdims=True)  # (1, nb_pad)
-        relevant_f = jnp.where(relevant, 1.0, 0.0)
-        lane = lax.broadcasted_iota(
-            jnp.int32, relevant_f.shape, 1
-        )
+        g = INSTANCED_GROUP
+        win = INSTANCED_LANES
+        pm, p2 = self._pm(px, py, pz)
 
-        def eval_block(b, dmin):
-            cx = self.sphere_ref[0, b, :][None, :]  # (1, 128)
-            cy = self.sphere_ref[1, b, :][None, :]
-            cz = self.sphere_ref[2, b, :][None, :]
-            rr = self.sphere_ref[3, b, :][None, :]
-            dx = px - cx  # (COL, 128)
-            dy = py - cy
-            dz = pz - cz
-            d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - rr
-            return jnp.minimum(dmin, jnp.min(d, axis=-1, keepdims=True))
+        if active is None:
+            act = jnp.ones_like(px) > 0.0
+        else:
+            act = active
 
-        def body(b, dmin):
-            sel = jnp.sum(jnp.where(lane == b, relevant_f, 0.0))
-            return lax.cond(
-                sel > 0.5, lambda d: eval_block(b, d), lambda d: d, dmin
-            )
+        # 1. block-level upper bound u (sqrt on the small (nbk, COL) plane)
+        qb = jax.lax.dot_general(
+            self.blk_ref[...], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + self.blk_ref[:, 5:6] + p2
+        dcb = jnp.sqrt(jnp.maximum(qb, 0.0))
+        u = jnp.min(dcb + self.blk_ref[:, 4:5], axis=0, keepdims=True)
+        if step_clamp is not None:
+            gate = jnp.minimum(u, jnp.float32(step_clamp))
+        else:
+            gate = u
 
-        dmin = jax.lax.fori_loop(
-            0, self.nblocks, body, czero(px) + jnp.inf
-        )
+        # 2. micro-block eligibility in squared space
+        qm = jax.lax.dot_general(
+            self.mu_ref[...], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + self.mu_ref[:, 5:6] + p2  # (nmu_pad, COL)
+        mR = self.mu_ref[:, 3:4]
+        thr = gate + mR  # (nmu_pad, COL)
+        eligible = act & (thr > 0.0) & (qm <= thr * thr)
+        mask0 = jnp.max(jnp.where(eligible, 1.0, 0.0), axis=1, keepdims=True)
+        # best-first order: smallest squared center distance (a proxy for
+        # the lower bound; ordering affects only speed, not the result)
+        score = jnp.min(
+            jnp.where(eligible, qm, jnp.inf), axis=1, keepdims=True
+        )  # (nmu_pad, 1)
+        sub = lax.broadcasted_iota(jnp.int32, mask0.shape, 0)
+
+        def cond(c):
+            mask, _ = c
+            return jnp.max(mask) > 0.5
+
+        def body(c):
+            mask, dmin = c
+            sc = jnp.where(mask > 0.5, score, jnp.inf)
+            smin = jnp.min(sc)
+            m = jnp.min(jnp.where(sc <= smin, sub, self.nmu_pad))
+            # 128-sphere window centered on micro block m, clamped in
+            # range; always 8-aligned, always fully covers block m
+            w = jnp.clip(m * g + g // 2 - win // 2, 0, self.ns_pad - win)
+            tw = self.sphere_ref[pl.ds(w, win), :]  # (win, 8)
+            dx = px - tw[:, 0:1]
+            dy = py - tw[:, 1:2]
+            dz = pz - tw[:, 2:3]
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - tw[:, 3:4]
+            dmin = jnp.minimum(dmin, jnp.min(d, axis=0, keepdims=True))
+            # retire every micro block fully inside the window
+            lo = (w + g - 1) // g
+            hi = (w + win) // g
+            mask = jnp.where((sub >= lo) & (sub < hi), 0.0, mask)
+            if step_clamp is None:
+                # exact mode only: re-prune against the shrunken running
+                # min (cuts picks ~40%, measured; under a clamp the gate
+                # is already ~as tight as dmin ever gets, so the extra
+                # (nmu, COL) pass per pick costs more than it saves)
+                thr2 = dmin + mR
+                still = jnp.max(
+                    jnp.where(
+                        act & (thr2 > 0.0) & (qm < thr2 * thr2), 1.0, 0.0
+                    ),
+                    axis=1, keepdims=True,
+                )
+                mask = mask * still
+            return mask, dmin
+
+        _, dmin = lax.while_loop(cond, body, (mask0, czero(px) + jnp.inf))
+        # the clamp applies to the SPHERE set only (jnp oracle order,
+        # sdf.py): plane distances stay exact, so sky/floor rays keep
+        # full-size steps and escape in a handful of iterations
+        if step_clamp is not None:
+            dmin = jnp.minimum(dmin, jnp.float32(step_clamp))
         for y in self.plane_vals:
             dmin = jnp.minimum(dmin, py - y)
         return dmin
@@ -430,7 +563,11 @@ class ScalarScene:
             oid = jnp.where(closer, i + 1, oid)
         return dist, oid
 
-    def dist_only(self, px, py, pz):
+    def dist_only(self, px, py, pz, active=None, step_clamp=None):
+        # `active`/`step_clamp` are accepted for signature parity with
+        # InstancedScene (the march/shadow kernels pass their not-done mask
+        # and cfg.step_clamp); the unrolled compiled scene has no per-ray
+        # work to skip and ignores the clamp like the jnp path does.
         dist = czero(px) + jnp.inf
         for node in self.structure.objects:
             dist = jnp.minimum(dist, self.node_dist(node, px, py, pz))

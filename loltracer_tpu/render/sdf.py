@@ -61,10 +61,16 @@ def _plane_dists(params: SceneParams, p):
 
 def make_scene_sdf(
     structure: SceneStructure,
+    step_clamp: float = None,
 ) -> Callable:
-    """Build `sdf(params, p[..., 3]) -> dist[...]` for this structure."""
+    """Build `sdf(params, p[..., 3]) -> dist[...]` for this structure.
+
+    `step_clamp` (instanced structures only; config.py RenderConfig
+    docstring) returns the step-clamped distance min(d, step_clamp) — one
+    extra op here, so this function stays the bitwise oracle for the
+    clamped Pallas traversal."""
     if structure.instanced:
-        inner = _make_instanced_sdf(structure)
+        inner = _make_instanced_sdf(structure, step_clamp)
         return lambda params, p: inner(params, p)[0]
 
     def sdf(params: SceneParams, p):
@@ -74,13 +80,18 @@ def make_scene_sdf(
     return sdf
 
 
-def make_scene_sdf_with_id(structure: SceneStructure) -> Callable:
+def make_scene_sdf_with_id(
+    structure: SceneStructure,
+    step_clamp: float = None,
+) -> Callable:
     """Build `sdf(params, p[..., 3]) -> (dist[...], id[...] int32)`.
 
     Ids are 1-based file-order object positions; jnp.argmin keeps the first
-    minimum, i.e. the naive backend's first-wins tie rule."""
+    minimum, i.e. the naive backend's first-wins tie rule. The id is the
+    UNCLAMPED argmin even under step_clamp (ids only matter at hits, where
+    the clamp is inactive anyway)."""
     if structure.instanced:
-        return _make_instanced_sdf(structure)
+        return _make_instanced_sdf(structure, step_clamp)
 
     def sdf(params: SceneParams, p):
         dists = jnp.stack(_object_dists(structure, params, p), axis=-1)
@@ -92,7 +103,9 @@ def make_scene_sdf_with_id(structure: SceneStructure) -> Callable:
     return sdf
 
 
-def _make_instanced_sdf(structure: SceneStructure) -> Callable:
+def _make_instanced_sdf(
+    structure: SceneStructure, step_clamp: float = None
+) -> Callable:
     """Instanced (10k+ primitive) scene SDF: a running min+argmin over
     fixed-size blocks of the sphere SoA via lax.fori_loop — BVH-free batched
     evaluation whose peak memory is [...pixels, block] instead of
@@ -143,6 +156,12 @@ def _make_instanced_sdf(structure: SceneStructure) -> Callable:
         else:
             dmin = jnp.full(batch, jnp.inf, p.dtype)
             imin = jnp.zeros(batch, jnp.int32)
+
+        # the clamp applies to the SPHERE set only, BEFORE the plane merge,
+        # so sky/floor rays keep exact full-size steps (the Pallas
+        # traversal clamps in the same order — pallas_scene.py dist_only)
+        if step_clamp is not None:
+            dmin = jnp.minimum(dmin, jnp.asarray(step_clamp, dmin.dtype))
 
         if structure.num_planes:
             dpl = _plane_dists(params, p)  # [..., Np]

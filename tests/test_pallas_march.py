@@ -148,6 +148,72 @@ def test_instanced_single_sphere_block_not_self_culled(n):
     np.testing.assert_allclose(pal.t_query, ref.t_query, atol=1e-4, rtol=1e-4)
 
 
+def test_instanced_step_clamp_matches_jnp():
+    """Step-clamped instanced march (config.py step_clamp): the Pallas
+    traversal's clamped distance is bitwise min(d, clamp) and must match
+    the jnp march over the clamped sdf exactly as the exact mode does."""
+    from loltracer_tpu.scenes import instanced_spheres
+
+    scene = instanced_spheres(n=300, seed=9)
+    cfg = RenderConfig(step_clamp=4.0)
+    ro, rd = camera_rays(scene.params, H, W, cfg)
+    sdf = make_scene_sdf(scene.structure, cfg.step_clamp)
+    ref = march(sdf, scene.params, ro, rd, cfg)
+    pal = make_pallas_march(scene.structure, cfg, interpret=True)(
+        scene.params, ro, rd
+    )
+    np.testing.assert_allclose(pal.t, ref.t, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(pal.t_query, ref.t_query, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(pal.t_close, ref.t_close, atol=1e-4, rtol=1e-4)
+
+
+def test_instanced_step_clamp_same_hits_as_exact():
+    """The clamp is conservative: rays hit the same surfaces (same hit
+    mask; hit distances within a few epsilon), only free-space step sizes
+    change. (config.py step_clamp docstring — the clamp may not create or
+    destroy hits away from the 256-step budget edge.)"""
+    from loltracer_tpu.config import DEFAULT_CONFIG
+    from loltracer_tpu.scenes import instanced_spheres
+
+    scene = instanced_spheres(n=300, seed=9)
+    cfg = DEFAULT_CONFIG
+    ro, rd = camera_rays(scene.params, H, W, cfg)
+    exact = march(
+        make_scene_sdf(scene.structure), scene.params, ro, rd, cfg
+    )
+    clamped = march(
+        make_scene_sdf(scene.structure, 4.0), scene.params, ro, rd, cfg
+    )
+    hit_e = np.asarray(exact.t) < cfg.max_dist
+    hit_c = np.asarray(clamped.t) < cfg.max_dist
+    np.testing.assert_array_equal(hit_c, hit_e)
+    np.testing.assert_allclose(
+        np.asarray(clamped.t)[hit_c], np.asarray(exact.t)[hit_e],
+        atol=5e-3,
+    )
+
+
+def test_instanced_step_clamp_render_close_to_exact():
+    """Full render with the clamp stays visually identical to exact: the
+    shading pipeline consumes only small distances (hits, penumbra minima,
+    normal taps), all in the d < clamp regime where values are exact."""
+    from loltracer_tpu.scenes import instanced_spheres
+
+    scene = instanced_spheres(n=300, seed=9)
+    base = RenderConfig()
+    img_e = np.asarray(
+        render_image(scene.structure, scene.params, H, W, base)
+    )
+    img_c = np.asarray(
+        render_image(
+            scene.structure, scene.params, H, W,
+            base.replace(step_clamp=4.0),
+        )
+    )
+    assert np.mean(np.abs(img_c - img_e)) < 1e-4
+    assert np.max(np.abs(img_c - img_e)) < 2e-2
+
+
 def test_instanced_shadow_kernel_matches_scan():
     """The instanced frozen shadow march matches the jnp scan's (res, t*)."""
     from jax import lax
