@@ -276,9 +276,12 @@ def _shade_from_frozen(structure, cfg, scn: ScalarScene, cam,
 
 
 def _train_fwd_kernel(structure, cfg, height, width, fields,
-                      cam_ref, *refs):
+                      with_residuals, cam_ref, *refs):
     param_refs = dict(zip(fields, refs[: len(fields)]))
-    img_ref, res_ref = refs[len(fields):]
+    if with_residuals:
+        img_ref, res_ref = refs[len(fields):]
+    else:
+        (img_ref,) = refs[len(fields):]
     values = read_param_values(structure, param_refs)
     scn = ScalarScene(structure, values)
     cam = tuple(cam_ref[i] for i in range(CAM_SIZE))
@@ -353,18 +356,25 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
         )
         mat = jnp.where(hit, mat, 0)
 
-    # IFT denominator: exact directional derivative of the scene SDF along
-    # the ray at the marched hit, clamped away from zero (march.py:173-180).
-    _, den = jax.jvp(
-        lambda tt: scn.dist_only(
-            ro_x + tt * rdx, ro_y + tt * rdy, ro_z + tt * rdz
-        ),
-        (t,),
-        (jnp.ones_like(t),),
-    )
-    den = jnp.where(
-        jnp.abs(den) < _MIN_DEN, jnp.where(den < 0, -_MIN_DEN, _MIN_DEN), den
-    )
+    if with_residuals:
+        # IFT denominator: exact directional derivative of the scene SDF
+        # along the ray at the marched hit, clamped away from zero
+        # (march.py:173-180). Forward-only renders skip it (it exists only
+        # to be saved for the backward re-attachment).
+        _, den = jax.jvp(
+            lambda tt: scn.dist_only(
+                ro_x + tt * rdx, ro_y + tt * rdy, ro_z + tt * rdz
+            ),
+            (t,),
+            (jnp.ones_like(t),),
+        )
+        den = jnp.where(
+            jnp.abs(den) < _MIN_DEN,
+            jnp.where(den < 0, -_MIN_DEN, _MIN_DEN),
+            den,
+        )
+    else:
+        den = jnp.ones_like(t)
 
     # --- per-light shadow march with argmin tracking -----------------------
     # (render/pallas_march._shadow_kernel semantics, inlined at the frozen
@@ -427,13 +437,14 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
     img_ref[0, :, :] = r
     img_ref[1, :, :] = g
     img_ref[2, :, :] = b
-    res_ref[0, :, :] = t_sh
-    res_ref[1, :, :] = hit_f
-    res_ref[2, :, :] = mat_f
-    res_ref[3, :, :] = den
-    for li in range(len(scn.lights)):
-        res_ref[4 + 2 * li, :, :] = shadow_res[li]
-        res_ref[5 + 2 * li, :, :] = shadow_tstar[li]
+    if with_residuals:
+        res_ref[0, :, :] = t_sh
+        res_ref[1, :, :] = hit_f
+        res_ref[2, :, :] = mat_f
+        res_ref[3, :, :] = den
+        for li in range(len(scn.lights)):
+            res_ref[4 + 2 * li, :, :] = shadow_res[li]
+            res_ref[5 + 2 * li, :, :] = shadow_tstar[li]
 
 
 def _train_bwd_kernel(structure, cfg, height, width, fields,
@@ -515,30 +526,38 @@ def num_residuals(structure: SceneStructure) -> int:
 
 
 def make_fwd_call(structure, height, width, cfg, interpret=False,
-                  full_height=None):
+                  full_height=None, with_residuals=True):
     """The fused forward pallas_call: (cam [16], *fields) ->
-    (img [3, ph, pw], residuals [R, ph, pw]). `height` is the rows THIS call
-    renders; `full_height` (default: height) is the whole image's height for
-    NDC mapping — row-sharded callers pass their shard height plus the
-    global height, with the shard's first row in cam[15]."""
+    (img [3, ph, pw], residuals [R, ph, pw]) — or img alone with
+    with_residuals=False (the forward-only renderer: same kernel, no
+    residual planes, no IFT-denominator eval). `height` is the rows THIS
+    call renders; `full_height` (default: height) is the whole image's
+    height for NDC mapping — row-sharded callers pass their shard height
+    plus the global height, with the shard's first row in cam[15]."""
     fields = active_fields(structure)
     n_res = num_residuals(structure)
     gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
     ph, pw = gh * TILE_H, gw * TILE_W
+    if with_residuals:
+        out_specs = (_vtile(3), _vtile(n_res))
+        out_shape = (
+            jax.ShapeDtypeStruct((3, ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((n_res, ph, pw), jnp.float32),
+        )
+    else:
+        out_specs = _vtile(3)
+        out_shape = jax.ShapeDtypeStruct((3, ph, pw), jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _train_fwd_kernel, structure, cfg, full_height or height, width,
-            fields,
+            fields, with_residuals,
         ),
         grid=(gh, gw),
         in_specs=[_smem()] + [_smem() for _ in fields],
-        out_specs=(_vtile(3), _vtile(n_res)),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((n_res, ph, pw), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-        name="lol_train_fwd",
+        name="lol_train_fwd" if with_residuals else "lol_render_fused",
     )
 
 

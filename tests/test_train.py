@@ -25,7 +25,10 @@ CFG = RenderConfig(shadow_grad="envelope", march_backend="jnp")
 CFG_AA = dataclasses.replace(CFG, antialias=True)
 
 
-@pytest.fixture(scope="module", params=["scene.lol", "scene3.lol", "scene4.lol"])
+@pytest.fixture(
+    scope="module",
+    params=["scene.lol", "scene2.lol", "scene3.lol", "scene4.lol"],
+)
 def scene(request, examples_dir):
     return build_scene(parse_scene_file(str(examples_dir / request.param)))
 
