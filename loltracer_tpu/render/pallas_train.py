@@ -46,10 +46,12 @@ from loltracer_tpu.render.pallas_scene import (
     PARAM_FIELDS,
     TILE_H,
     TILE_W,
+    InstancedScene,
     ScalarScene,
     active_fields,
     cdiv,
     czero,
+    pack_instanced_spheres,
     read_param_values,
 )
 from loltracer_tpu.scene import SceneParams, SceneStructure
@@ -91,22 +93,15 @@ def camera_pack(params: SceneParams, height: int, width: int,
     )
 
 
-def _rays_from_cam(cam, height, width, ti, tj):
-    """Per-tile pixel rays from the camera-pack scalars; differentiable in
-    cam. Returns (ro_x, ro_y, ro_z, rdx, rdy, rdz) with rd as unit (8,128)
-    component planes (naive_renderer.c:177-193 semantics). ti/tj are the
-    tile's grid coordinates (pl.program_id in kernels; plain ints in
-    out-of-kernel tests)."""
-    f32 = jnp.float32
+def _rays_from_xy(cam, height, width, x, y):
+    """Pixel rays from the camera-pack scalars at pixel-coordinate planes
+    x/y (any tile shape); differentiable in cam
+    (naive_renderer.c:177-193 semantics)."""
     ro = (cam[0], cam[1], cam[2])
     rt = (cam[3], cam[4], cam[5])
     up = (cam[6], cam[7], cam[8])
     fw = (cam[9], cam[10], cam[11])
     half_w, half_h = cam[12], cam[13]
-    rows = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    y = cam[15] + (ti * TILE_H + rows).astype(f32)  # cam[15] = row offset
-    x = (tj * TILE_W + cols).astype(f32)
     vx = (x + 0.5) / width * 2.0 - 1.0
     vy = 1.0 - (y + 0.5) / height * 2.0
 
@@ -122,20 +117,49 @@ def _rays_from_cam(cam, height, width, ti, tj):
     return ro, (rdx / norm, rdy / norm, rdz / norm)
 
 
-def _shade_from_frozen(structure, cfg, scn: ScalarScene, cam,
+def _rays_from_cam(cam, height, width, ti, tj):
+    """(8, 128)-tile pixel rays for tile (ti, tj) (pl.program_id in
+    kernels; plain ints in out-of-kernel tests); cam[15] = row offset."""
+    f32 = jnp.float32
+    rows = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    y = cam[15] + (ti * TILE_H + rows).astype(f32)
+    x = (tj * TILE_W + cols).astype(f32)
+    return _rays_from_xy(cam, height, width, x, y)
+
+
+def _rays_from_cam_cols(cam, height, width, gpw, pi):
+    """(1, COL) lane-row pixel rays for instanced patch pi of a
+    (gph, gpw) patch grid (pallas_march P_H x P_W patches; cam[15] = row
+    offset)."""
+    from loltracer_tpu.render.pallas_march import COL, P_H, P_W
+
+    f32 = jnp.float32
+    k = lax.broadcasted_iota(jnp.int32, (1, COL), 1)
+    ti = pi // gpw
+    tj = pi - ti * gpw
+    y = cam[15] + (ti * P_H + k // P_W).astype(f32)
+    x = (tj * P_W + (k % P_W)).astype(f32)
+    return _rays_from_xy(cam, height, width, x, y)
+
+
+def _shade_from_frozen(structure, cfg, scn, cam,
                        t_sh, hit_f, mat_f, den,
-                       shadow_res, shadow_tstar, height, width, ti, tj):
+                       shadow_res, shadow_tstar, rays_fn):
     """The differentiable re-attachment: the whole pipeline downstream of the
     frozen march/shadow numbers. Its VALUE equals the reference pipeline's
     forward (the forward kernel computes the image by calling this); its
     GRADIENT w.r.t. (scene scalars, camera pack) is the IFT + Danskin +
     coverage estimator of the jnp path. Straight-line jnp — safely
-    `jax.vjp`-able inside the backward kernel."""
+    `jax.vjp`-able inside the backward kernel. `scn` is any scene with
+    dist_only/materials/lights/ambient (ScalarScene for compiled scenes,
+    _InstancedShading for instanced ones); `rays_fn(cam)` builds this
+    tile's differentiable pixel rays in the kernel's layout."""
     sg = lax.stop_gradient
     hit = hit_f > 0.5
     mat = mat_f.astype(jnp.int32)
 
-    ro, rd = _rays_from_cam(cam, height, width, ti, tj)
+    ro, rd = rays_fn(cam)
     ro_x, ro_y, ro_z = ro
     rdx, rdy, rdz = rd
     pixel_rad = cam[14]
@@ -431,7 +455,8 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
     mat_f = mat.astype(jnp.float32)
     r, g, b = _shade_from_frozen(
         structure, cfg, scn, cam, t_sh, hit_f, mat_f, den,
-        shadow_res, shadow_tstar, height, width, ti, tj,
+        shadow_res, shadow_tstar,
+        lambda c: _rays_from_cam(c, height, width, ti, tj),
     )
 
     img_ref[0, :, :] = r
@@ -473,7 +498,8 @@ def _train_bwd_kernel(structure, cfg, height, width, fields,
         scn = ScalarScene(structure, values)
         return _shade_from_frozen(
             structure, cfg, scn, cam, t_sh, hit_f, mat_f, den,
-            shadow_res, shadow_tstar, height, width, ti, tj,
+            shadow_res, shadow_tstar,
+            lambda c: _rays_from_cam(c, height, width, ti, tj),
         )
 
     _, vjp_fn = jax.vjp(reattach, values, cam)
@@ -680,5 +706,318 @@ def make_training_renderer(
     @jax.jit
     def renderer(params: SceneParams) -> jnp.ndarray:
         return render(params, jnp.float32(0.0))
+
+    return renderer
+
+
+# ---------------------------------------------------------------------------
+# Instanced (10k+ sphere) fused tier: the same pipeline over the bound-
+# guided windowed traversal (pallas_scene.InstancedScene), rays in the
+# lane-row column layout of pallas_march (one 32x16 pixel patch per
+# (1, COL) tile). The small parameter fields (materials, lights, ambient,
+# plane_y, camera) stay SMEM scalars exactly like the compiled tier —
+# _shade_from_frozen is shared verbatim via the _InstancedShading adapter.
+# ---------------------------------------------------------------------------
+
+
+def instanced_small_fields(structure):
+    """The SMEM-scalar param fields of an instanced structure (everything
+    except the sphere SoA, which lives in the VMEM tables)."""
+    return [
+        f for f in active_fields(structure)
+        if f not in ("sphere_point", "sphere_radius")
+    ]
+
+
+class _InstancedShading(ScalarScene):
+    """ScalarScene's material/light/ambient tables + InstancedScene's
+    traversal as dist_only — the scene object the shared shading/backward
+    code consumes for instanced structures. cfg.step_clamp is bound here so
+    every SDF evaluation in the pipeline sees the same (clamped) scene the
+    jnp oracle path evaluates."""
+
+    def __init__(self, structure, values, inst, cfg):
+        ScalarScene.__init__(self, structure, values)
+        self._inst = inst
+        self._clamp = cfg.step_clamp
+
+    def dist_only(self, px, py, pz, active=None, step_clamp=None):
+        return self._inst.dist_only(
+            px, py, pz, active=active, step_clamp=self._clamp
+        )
+
+
+def _compose_track(structure, values, cut, raw, matf, nx, ny, nz, py):
+    """Compose the sphere-set winner-tracking result with the per-ray step
+    cut (InstancedScene._cut: max(clamp, dist-to-bbox)) and the planes
+    (sdf.py order): returns (dist, matf, nx, ny, nz) where the normal is
+    the winner's exact SDF gradient (zero when the cut wins — its
+    'distance' is locally constant in the scene params)."""
+    d = raw
+    if cut is not None:
+        cw = d > cut
+        d = jnp.minimum(d, cut)
+        nx = jnp.where(cw, 0.0, nx)
+        ny = jnp.where(cw, 0.0, ny)
+        nz = jnp.where(cw, 0.0, nz)
+    for k in range(structure.num_planes):
+        dp = py - values["plane_y"][k]
+        pwin = dp < d
+        d = jnp.where(pwin, dp, d)
+        pm_id = float(structure.material_ids[structure.num_spheres + 1 + k])
+        matf = jnp.where(pwin, pm_id, matf)
+        nx = jnp.where(pwin, 0.0, nx)
+        ny = jnp.where(pwin, 1.0, ny)
+        nz = jnp.where(pwin, 0.0, nz)
+    return d, matf, nx, ny, nz
+
+
+def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
+                          with_residuals, cam_ref, sph_ref, mu_ref, blk_ref,
+                          bbox_ref, *refs):
+    param_refs = dict(zip(fields, refs[: len(fields)]))
+    if with_residuals:
+        img_ref, res_ref = refs[len(fields):]
+    else:
+        (img_ref,) = refs[len(fields):]
+    values = read_param_values(structure, param_refs)
+    cam = tuple(cam_ref[i] for i in range(CAM_SIZE))
+    clamp = cfg.step_clamp
+
+    pi = pl.program_id(0)
+
+    def rays_fn(c):
+        return _rays_from_cam_cols(c, height, width, gpw, pi)
+
+    ro, rd = rays_fn(cam)
+    ro_x, ro_y, ro_z = ro
+    rdx, rdy, rdz = rd
+    inst = InstancedScene(
+        structure, sph_ref, mu_ref, blk_ref,
+        list(values.get("plane_y", ())), bbox_ref=bbox_ref,
+    )
+    scn = _InstancedShading(structure, values, inst, cfg)
+    zeros = czero(rdx) + czero(rdy) + czero(rdz)
+    inf = zeros + jnp.inf
+
+    # --- march (pallas_march instanced semantics: active-masked windowed
+    # traversal, AA closest-approach tracking when configured) ------------
+    def m_cond(c):
+        step = c[0]
+        done_f = c[-1]
+        return (step < cfg.max_steps) & (jnp.min(done_f) < 0.5)
+
+    def m_body(c):
+        step, t, t_query, s_min, t_close, done_f = c
+        done = done_f > 0.5
+        d = inst.dist_only(
+            ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
+            active=~done, step_clamp=clamp,
+        )
+        new_t = t + d
+        track = (~done) & (t > 0.0)
+        s = d / jnp.where(t > 0.0, t, 1.0)
+        better = track & (s < s_min)
+        s_min = jnp.where(better, s, s_min)
+        t_close = jnp.where(better, t, t_close)
+        t_query = jnp.where(done, t_query, t)
+        t = jnp.where(done, t, new_t)
+        now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
+        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+        return step + 1, t, t_query, s_min, t_close, done_f
+
+    _, t, t_query, _, t_close, _ = lax.while_loop(
+        m_cond, m_body, (0, zeros, zeros, inf, zeros, zeros)
+    )
+    hit = t < cfg.max_dist
+
+    # shading distance + material id via ONE winner-tracking traversal
+    if cfg.antialias:
+        t_q = jnp.where(hit, t_query, t_close)
+        t_sh = jnp.where(hit, t, t_close)
+    else:
+        t_q = t_query
+        t_sh = t
+    pqx = ro_x + t_q * rdx
+    pqy = ro_y + t_q * rdy
+    pqz = ro_z + t_q * rdz
+    raw, matf, _, _, _, _, _ = inst.sdf_track(
+        pqx, pqy, pqz, step_clamp=clamp
+    )
+    cut_q = inst._cut(pqx, pqy, pqz, clamp)
+    _, matf, _, _, _ = _compose_track(
+        structure, values, cut_q, raw, matf, zeros, zeros, zeros, pqy
+    )
+    if not cfg.antialias:
+        matf = jnp.where(hit, matf, 0.0)
+
+    if with_residuals:
+        # analytic IFT denominator: winner-normal . ray direction at the
+        # marched t (the directional derivative of the piecewise scene SDF
+        # a.e.; clamp-win lanes get 0, then the MIN_DEN guard — the same
+        # zero AD produces through a clamped min)
+        ptx = ro_x + t * rdx
+        pty = ro_y + t * rdy
+        ptz = ro_z + t * rdz
+        raw2, m2, nx2, ny2, nz2, _, _ = inst.sdf_track(
+            ptx, pty, ptz, step_clamp=clamp
+        )
+        cut_t = inst._cut(ptx, pty, ptz, clamp)
+        _, _, nx2, ny2, nz2 = _compose_track(
+            structure, values, cut_t, raw2, m2, nx2, ny2, nz2, pty
+        )
+        den = nx2 * rdx + ny2 * rdy + nz2 * rdz
+        den = jnp.where(
+            jnp.abs(den) < _MIN_DEN,
+            jnp.where(den < 0, -_MIN_DEN, _MIN_DEN),
+            den,
+        )
+    else:
+        den = jnp.ones_like(t)
+
+    # --- per-light shadow march with argmin tracking ----------------------
+    px = ro_x + t_sh * rdx
+    py = ro_y + t_sh * rdy
+    pz = ro_z + t_sh * rdz
+    shadow_res = []
+    shadow_tstar = []
+    for (lp, _, _) in scn.lights:
+        tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+        light_dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+        lnorm = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-30))
+        ldx, ldy, ldz = tlx / lnorm, tly / lnorm, tlz / lnorm
+        sox = px + ldx * cfg.shadow_offset
+        soy = py + ldy * cfg.shadow_offset
+        soz = pz + ldz * cfg.shadow_offset
+
+        def s_cond(c):
+            step = c[0]
+            done_f = c[-1]
+            return (step < cfg.shadow_steps) & (jnp.min(done_f) < 0.5)
+
+        def s_body(c, sox=sox, soy=soy, soz=soz, ldx=ldx, ldy=ldy, ldz=ldz,
+                   light_dist=light_dist):
+            step, res, st, t_star, done_f = c
+            done = done_f > 0.5
+            d = inst.dist_only(
+                sox + st * ldx, soy + st * ldy, soz + st * ldz,
+                active=~done, step_clamp=clamp,
+            )
+            live = st > 0.0
+            safe_t = jnp.where(live, st, 1.0)
+            val = jnp.where(
+                live, cfg.shadow_w * d / safe_t,
+                jnp.where(d < 0.0, -inf, inf),
+            )
+            better = (~done) & (val < res)
+            new_res = jnp.where(done, res, jnp.minimum(res, val))
+            t_star = jnp.where(better, st, t_star)
+            new_t = jnp.where(done, st, st + d)
+            now_done = (new_res < -1.0) | (new_t > light_dist)
+            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+            return step + 1, new_res, new_t, t_star, done_f
+
+        _, res, _, t_star, _ = lax.while_loop(
+            s_cond, s_body, (0, zeros + 1.0, zeros, zeros, zeros)
+        )
+        shadow_res.append(res)
+        shadow_tstar.append(t_star)
+
+    hit_f = jnp.where(hit, 1.0, 0.0)
+    r, g, b = _shade_from_frozen(
+        structure, cfg, scn, cam, t_sh, hit_f, matf, den,
+        shadow_res, shadow_tstar, rays_fn,
+    )
+
+    img_ref[0:1, :] = r
+    img_ref[1:2, :] = g
+    img_ref[2:3, :] = b
+    if with_residuals:
+        res_ref[0:1, :] = t_sh
+        res_ref[1:2, :] = hit_f
+        res_ref[2:3, :] = matf
+        res_ref[3:4, :] = den
+        for li in range(len(scn.lights)):
+            res_ref[4 + 2 * li:5 + 2 * li, :] = shadow_res[li]
+            res_ref[5 + 2 * li:6 + 2 * li, :] = shadow_tstar[li]
+
+
+def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
+                            full_height=None, with_residuals=False):
+    """The fused instanced forward pallas_call over lane-row patches:
+    (cam, spheres_t, mu_bounds, blk_bounds, *small fields) -> img
+    [3, NT*COL] (+ residuals [n_res, NT*COL] with with_residuals)."""
+    from loltracer_tpu.render.pallas_march import COL, P_H, P_W
+
+    fields = instanced_small_fields(structure)
+    gph, gpw = cdiv(height, P_H), cdiv(width, P_W)
+    nt = gph * gpw
+    n_res = num_residuals(structure)
+
+    def _row(ch):
+        return pl.BlockSpec(
+            (ch, COL), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    if with_residuals:
+        out_specs = (_row(3), _row(n_res))
+        out_shape = (
+            jax.ShapeDtypeStruct((3, nt * COL), jnp.float32),
+            jax.ShapeDtypeStruct((n_res, nt * COL), jnp.float32),
+        )
+    else:
+        out_specs = _row(3)
+        out_shape = jax.ShapeDtypeStruct((3, nt * COL), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(
+            _instanced_fwd_kernel, structure, cfg, full_height or height,
+            width, gpw, fields, with_residuals,
+        ),
+        grid=(nt,),
+        in_specs=[_smem()]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [_smem()]  # bbox
+        + [_smem() for _ in fields],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        name="lol_instanced_fwd" if with_residuals else "lol_instanced_render",
+    )
+
+
+def make_instanced_renderer(
+    structure: SceneStructure,
+    height: int,
+    width: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    interpret: bool = False,
+) -> Callable[[SceneParams], jnp.ndarray]:
+    """Compile `params -> [H, W, 3] f32` through the fused instanced
+    forward kernel: the whole pipeline (march, shadows, normals, Phong,
+    optional AA, gamma) over the windowed sphere traversal, one kernel
+    launch per image. Forward values match the banded jnp renderer under
+    the same cfg (incl. step_clamp) to fp32 noise."""
+    from loltracer_tpu.render.pallas_march import P_H, P_W, _from_columns
+
+    if not structure.instanced:
+        raise ValueError("make_instanced_renderer requires an instanced scene")
+    fields = instanced_small_fields(structure)
+    gph, gpw = cdiv(height, P_H), cdiv(width, P_W)
+    call = make_instanced_fwd_call(
+        structure, gph * P_H, gpw * P_W, cfg, interpret=interpret,
+        full_height=height, with_residuals=False,
+    )
+
+    @jax.jit
+    def renderer(params: SceneParams) -> jnp.ndarray:
+        spheres_t, mu_b, blk_b, bbox = pack_instanced_spheres(
+            params, structure.material_ids
+        )
+        args = [camera_pack(params, height, width, cfg), spheres_t, mu_b,
+                blk_b, bbox]
+        for f in fields:
+            args.append(jnp.asarray(getattr(params, f)).astype(jnp.float32))
+        planar = _from_columns(call(*args), gph, gpw)
+        return jnp.moveaxis(planar, 0, -1)[:height, :width, :]
 
     return renderer

@@ -157,11 +157,29 @@ def _make_instanced_sdf(
             dmin = jnp.full(batch, jnp.inf, p.dtype)
             imin = jnp.zeros(batch, jnp.int32)
 
-        # the clamp applies to the SPHERE set only, BEFORE the plane merge,
-        # so sky/floor rays keep exact full-size steps (the Pallas
-        # traversal clamps in the same order — pallas_scene.py dist_only)
-        if step_clamp is not None:
-            dmin = jnp.minimum(dmin, jnp.asarray(step_clamp, dmin.dtype))
+        # The clamp applies to the SPHERE set only, BEFORE the plane merge,
+        # so sky/floor rays keep exact full-size steps — and it relaxes to
+        # the distance-to-bounding-box outside the sphere set's AABB
+        # (cut = max(clamp, d_bbox), still a true lower bound of every
+        # sphere distance), so rays escape empty space at full stride
+        # instead of crawling in clamp-sized steps. The Pallas traversal
+        # computes the identical cut (pallas_scene.py dist_only).
+        if step_clamp is not None and ns:
+            real = rad > -1e29  # object-sharded shards carry sentinel pads
+            lo = jnp.min(
+                jnp.where(real[:, None], pos - rad[:, None], jnp.inf), axis=0
+            )
+            hi = jnp.max(
+                jnp.where(real[:, None], pos + rad[:, None], -jnp.inf), axis=0
+            )
+            q = jnp.maximum(jnp.maximum(lo - p, p - hi), 0.0)
+            s = jnp.sum(q * q, axis=-1)
+            # NaN-safe sqrt: inside the box s == 0 and sqrt's JVP is 0/0,
+            # which max's multiplicative gradient rule turns into NaN in
+            # the IFT denominator (found the hard way); value unchanged
+            d_bbox = jnp.where(s > 0, jnp.sqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+            cut = jnp.maximum(jnp.asarray(step_clamp, dmin.dtype), d_bbox)
+            dmin = jnp.minimum(dmin, cut)
 
         if structure.num_planes:
             dpl = _plane_dists(params, p)  # [..., Np]

@@ -5,6 +5,9 @@ for a fake distributed backend; see SURVEY.md §4)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# tests may build N-device meshes out of the faked CPU devices; production
+# launches must NOT get this fallback silently (parallel/mesh.py make_mesh)
+os.environ.setdefault("LOLTRACE_CPU_FALLBACK", "1")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

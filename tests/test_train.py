@@ -217,7 +217,7 @@ def test_bwd_kernel_matches_out_of_kernel_vjp(scene):
                     res[0][sl], res[1][sl], res[2][sl], res[3][sl],
                     [res[4 + 2 * l][sl] for l in range(nl)],
                     [res[5 + 2 * l][sl] for l in range(nl)],
-                    H, W, ti, tj,
+                    lambda c, ti=ti, tj=tj: PT._rays_from_cam(c, H, W, ti, tj),
                 )
                 acc = acc + jnp.sum(r * ct[0][sl]) + jnp.sum(
                     g * ct[1][sl]
