@@ -60,6 +60,12 @@ def main():
     # march backend for the frozen value passes inside the jnp/banded paths
     # ("auto" = Pallas kernels on TPU); forward values are backend-invariant
     march_backend = os.environ.get("BENCH_MARCH", "auto")
+    # Instanced step clamp (config.py RenderConfig.step_clamp): the
+    # documented instanced fast path; BENCH_CLAMP=none for exact.
+    clamp_env = os.environ.get("BENCH_CLAMP", "2.0")
+    step_clamp = None if clamp_env.lower() in ("", "none", "0") else float(
+        clamp_env
+    )
     # envelope in fwd mode too: forward values are bitwise identical to
     # "exact" (tests/test_shadow_envelope.py) and the frozen shadow march
     # runs as a Pallas kernel instead of a full reverse-differentiable scan
@@ -67,6 +73,7 @@ def main():
         shadow_grad=shadow_grad,
         antialias=antialias,
         march_backend=march_backend,
+        step_clamp=step_clamp if structure.instanced else None,
     )
 
     # Default to the fused Pallas tier on TPU for BOTH modes (fwd: the fused
@@ -85,7 +92,7 @@ def main():
     # render/backward computation, not the 24MB image transfer through the
     # axon tunnel. XLA still executes the full pipeline to produce the
     # reductions.
-    if structure.instanced:
+    if structure.instanced and not (mode == "fwd" and backend == "pallas"):
         # banded rendering bounds the [pixels, object_block] temporaries;
         # the march/shadow value passes inside each band go through the
         # instanced Pallas kernels when march_backend resolves to pallas
@@ -105,7 +112,15 @@ def main():
         def _render(p):
             return render_image(structure, p, height, width, cfg)
 
-    if mode == "fwd" and backend == "pallas":
+    if mode == "fwd" and backend == "pallas" and structure.instanced:
+        # fused instanced forward: whole pipeline over the windowed
+        # traversal (render/pallas_train.make_instanced_renderer)
+        from loltracer_tpu.render.pallas_train import make_instanced_renderer
+
+        backend = "pallas-fused-instanced"
+        r = make_instanced_renderer(structure, height, width, cfg)
+        fn = jax.jit(lambda p: jnp.sum(r(p)))
+    elif mode == "fwd" and backend == "pallas":
         from loltracer_tpu.render.pallas_renderer import make_pallas_renderer
 
         r = make_pallas_renderer(structure, height, width, cfg)
@@ -160,6 +175,8 @@ def main():
         tags += f" shadow_grad={shadow_grad}"
     if antialias:
         tags += " aa"
+    if structure.instanced and step_clamp is not None:
+        tags += f" clamp={step_clamp:g}"
     result = {
         "metric": f"rays/s/chip {mode}/{backend} {os.path.basename(scene_path)} "
         f"{width}x{height}{tags}",

@@ -71,6 +71,7 @@ def main():
 
     counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
     base = None
+    records = []
     for n in counts:
         mesh = make_mesh(devices, n_devices=n)
         height = ROWS_PER_DEVICE * n  # weak scaling: fixed rows per device
@@ -107,18 +108,22 @@ def main():
         if base is None:
             base = rps  # rays/s at 1 device
         eff = rps / (base * n)
-        print(
-            json.dumps(
-                {
-                    "devices": n,
-                    "height": height,
-                    "rays_per_s": round(rps, 1),
-                    "efficiency": round(eff, 3),
-                    "mode": MODE,
-                }
-            )
-        )
+        rec = {
+            "devices": n,
+            "height": height,
+            "rays_per_s": round(rps, 1),
+            "efficiency": round(eff, 3),
+            "mode": MODE,
+        }
+        records.append(rec)
+        print(json.dumps(rec))
         sys.stdout.flush()
+    # persist the ladder for PERF.md (r2 verdict: every number in-tree)
+    out = os.environ.get("SCALE_OUT", "SCALING.json")
+    with open(out, "w") as f:
+        json.dump({"platform": devices[0].platform,
+                   "rows_per_device": ROWS_PER_DEVICE, "width": WIDTH,
+                   "scene": SCENE, "records": records}, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -173,6 +173,12 @@ def render_image_banded(
     rows = jnp.arange(height, dtype=jnp.int32).reshape(-1, band_rows)
     pr = pixel_radius(params, height, cfg) if cfg.antialias else None
 
+    # checkpoint per band: without it, reverse-mode through lax.map stacks
+    # EVERY band's re-attachment residuals ([nbands, pixels, block] per
+    # differentiable SDF eval site) and large-image instanced gradients
+    # exceed HBM; remat recomputes a band's forward during its backward so
+    # only one band's residuals are ever live
+    @jax.checkpoint
     def band(rs):
         ro, rd = camera_rays_for_rows(params, rs, height, width, cfg, dtype)
         return render_rays(structure, params, ro, rd, cfg, pixel_rad=pr)
