@@ -92,7 +92,7 @@ def main():
     # render/backward computation, not the 24MB image transfer through the
     # axon tunnel. XLA still executes the full pipeline to produce the
     # reductions.
-    if structure.instanced and not (mode == "fwd" and backend == "pallas"):
+    if structure.instanced and backend != "pallas":
         # banded rendering bounds the [pixels, object_block] temporaries;
         # the march/shadow value passes inside each band go through the
         # instanced Pallas kernels when march_backend resolves to pallas
@@ -128,7 +128,18 @@ def main():
     elif mode == "fwd":
         fn = jax.jit(lambda p: jnp.sum(_render(p)))
     else:
-        if backend == "pallas":
+        if backend == "pallas" and structure.instanced:
+            # fused instanced differentiable tier: custom_vjp with the
+            # record/replay/scatter backward (render/pallas_train.py)
+            from loltracer_tpu.render.pallas_train import (
+                make_instanced_training_renderer,
+            )
+
+            backend = "pallas-fused-instanced"
+            _render = make_instanced_training_renderer(
+                structure, height, width, cfg
+            )
+        elif backend == "pallas":
             # the fused differentiable tier: custom_vjp around the fused
             # forward kernel + the re-attachment backward kernel
             # (render/pallas_train.py)

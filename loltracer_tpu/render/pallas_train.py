@@ -1021,3 +1021,400 @@ def make_instanced_renderer(
         return jnp.moveaxis(planar, 0, -1)[:height, :width, :]
 
     return renderer
+
+
+# ---------------------------------------------------------------------------
+# Instanced fused BACKWARD: custom_vjp over the instanced forward kernel.
+#
+# The compiled tier's backward takes jax.vjp of _shade_from_frozen directly
+# — every scene number is a traced SMEM scalar. The instanced sphere pack
+# is 10k+ VMEM rows, and the traversal's pick loop is not differentiable,
+# so the backward kernel runs three passes per tile instead:
+#
+#   1. RECORD: re-run _shade_from_frozen value-only with an adapter whose
+#      dist_only performs the real windowed traversal and records, per SDF
+#      call site, the frozen sphere-set minimum `raw`, the winning
+#      sphere's unit normal n, its window start w* and row-in-window, and
+#      the per-ray step cut.
+#   2. REPLAY + VJP: re-run _shade_from_frozen with a replay adapter whose
+#      dist_only is the straight-line re-attachment
+#          min( raw_i + n_i . (p - sg(p)),  cut_i,  planes(p) )
+#      with `raws` explicit inputs — value identical to pass 1, gradient
+#      the exact min-subgradient — and take jax.vjp w.r.t. (small scene
+#      values, camera pack, raws). The raws cotangents come out already
+#      masked by the min branch (zero where a plane or the cut won).
+#   3. SCATTER: for each call site, walk the distinct winner windows (a
+#      tiny pick loop over recorded w*) and accumulate
+#      d raw_i -> (-n, -1) into the sphere-table gradient rows
+#      dsph[w* + row*, (x y z r)], summing over rays per window.
+#
+# Gradients w.r.t. sphere positions/radii thus flow through the argmin
+# winner exactly as the banded jnp path's AD of the block-min does;
+# materials/lights/planes/camera flow through the shared vjp like the
+# compiled tier. The cut is treated as frozen in the replay: its branch
+# only wins where every consumer's cotangent is zero (hit/penumbra/
+# coverage quantities all live at small distances).
+# ---------------------------------------------------------------------------
+
+
+class _RecordingDist:
+    """Adapter for the RECORD pass: real traversal + per-call records."""
+
+    def __init__(self, structure, values, inst, cfg):
+        self._scalar = ScalarScene(structure, values)
+        self.materials = self._scalar.materials
+        self.lights = self._scalar.lights
+        self.ambient = getattr(self._scalar, "ambient", None)
+        self.structure = structure
+        self._values = values
+        self._inst = inst
+        self._cfg = cfg
+        self.calls = []
+
+    def dist_only(self, px, py, pz, active=None, step_clamp=None):
+        inst = self._inst
+        clamp = self._cfg.step_clamp
+        raw, _, nx, ny, nz, wstar, rowstar = inst.sdf_track(
+            px, py, pz, step_clamp=clamp
+        )
+        cut = inst._cut(px, py, pz, clamp)
+        d = raw
+        if cut is not None:
+            cw = d > cut
+            d = jnp.minimum(d, cut)
+            nx = jnp.where(cw, 0.0, nx)
+            ny = jnp.where(cw, 0.0, ny)
+            nz = jnp.where(cw, 0.0, nz)
+        for y in inst.plane_vals:
+            dp = py - y
+            pwin = dp < d
+            d = jnp.where(pwin, dp, d)
+        self.calls.append(
+            dict(raw=raw, nx=nx, ny=ny, nz=nz, wstar=wstar,
+                 rowstar=rowstar, px=px, py=py, pz=pz, cut=cut)
+        )
+        return d
+
+
+class _ReplayDist:
+    """Adapter for the REPLAY pass: straight-line re-attachment, safely
+    vjp-able. `raws` are explicit traced inputs (their cotangents are the
+    per-call scatter weights); records supply the frozen normals/cuts."""
+
+    def __init__(self, structure, values, records, raws, plane_vals):
+        self._scalar = ScalarScene(structure, values)
+        self.materials = self._scalar.materials
+        self.lights = self._scalar.lights
+        self.ambient = getattr(self._scalar, "ambient", None)
+        self.structure = structure
+        self._records = records
+        self._raws = raws
+        self._plane_vals = plane_vals
+        self._i = 0
+
+    def dist_only(self, px, py, pz, active=None, step_clamp=None):
+        sg = lax.stop_gradient
+        rec = self._records[self._i]
+        raw = self._raws[self._i]
+        self._i += 1
+        d = raw + (
+            rec["nx"] * (px - sg(px))
+            + rec["ny"] * (py - sg(py))
+            + rec["nz"] * (pz - sg(pz))
+        )
+        if rec["cut"] is not None:
+            d = jnp.minimum(d, rec["cut"])
+        for y in self._plane_vals:
+            d = jnp.minimum(d, py - y)
+        return d
+
+
+def _instanced_bwd_kernel(structure, cfg, height, width, gpw, fields,
+                          cam_ref, sph_ref, mu_ref, blk_ref, bbox_ref,
+                          *refs):
+    nf = len(fields)
+    param_refs = dict(zip(fields, refs[:nf]))
+    res_ref, ct_ref = refs[nf], refs[nf + 1]
+    dcam_ref = refs[nf + 2]
+    dfield_refs = refs[nf + 3: nf + 3 + nf]
+    dsph_ref = refs[nf + 3 + nf]
+
+    values = read_param_values(structure, param_refs)
+    cam = tuple(cam_ref[i] for i in range(CAM_SIZE))
+    pi = pl.program_id(0)
+
+    def rays_fn(c):
+        return _rays_from_cam_cols(c, height, width, gpw, pi)
+
+    inst = InstancedScene(
+        structure, sph_ref, mu_ref, blk_ref,
+        list(values.get("plane_y", ())), bbox_ref=bbox_ref,
+    )
+
+    t_sh = res_ref[0:1, :]
+    hit_f = res_ref[1:2, :]
+    mat_f = res_ref[2:3, :]
+    den = res_ref[3:4, :]
+    nl = structure.num_lights
+    shadow_res = [res_ref[4 + 2 * li:5 + 2 * li, :] for li in range(nl)]
+    shadow_tstar = [res_ref[5 + 2 * li:6 + 2 * li, :] for li in range(nl)]
+
+    # 1. RECORD
+    rec_scn = _RecordingDist(structure, values, inst, cfg)
+    _shade_from_frozen(
+        structure, cfg, rec_scn, cam, t_sh, hit_f, mat_f, den,
+        shadow_res, shadow_tstar, rays_fn,
+    )
+    records = rec_scn.calls
+
+    # 2. REPLAY + VJP
+    def reattach(values_t, cam_t, raws_t):
+        scn = _ReplayDist(
+            structure, values_t, records, raws_t,
+            list(values_t.get("plane_y", ())),
+        )
+        return _shade_from_frozen(
+            structure, cfg, scn, cam_t, t_sh, hit_f, mat_f, den,
+            shadow_res, shadow_tstar, rays_fn,
+        )
+
+    raws = tuple(r["raw"] for r in records)
+    _, vjp_fn = jax.vjp(reattach, values, cam, raws)
+    dvals, dcam, draws = vjp_fn(
+        (ct_ref[0:1, :], ct_ref[1:2, :], ct_ref[2:3, :])
+    )
+
+    first = pi == 0
+
+    @pl.when(first)
+    def _init():
+        for i in range(CAM_SIZE):
+            dcam_ref[i] = 0.0
+        for f, ref in zip(fields, dfield_refs):
+            v = dvals[f]
+            for i in range(len(v)):
+                if isinstance(v[i], tuple):
+                    for j in range(len(v[i])):
+                        ref[i, j] = 0.0
+                else:
+                    ref[i] = 0.0
+        dsph_ref[...] = jnp.zeros_like(dsph_ref[...])
+
+    for i in range(CAM_SIZE):
+        dcam_ref[i] += dcam[i]
+    for f, ref in zip(fields, dfield_refs):
+        v = dvals[f]
+        for i in range(len(v)):
+            if isinstance(v[i], tuple):
+                for j in range(len(v[i])):
+                    ref[i, j] += v[i][j]
+            else:
+                ref[i] += v[i]
+
+    # 3. SCATTER sphere-pack gradients, call site by call site
+    win = 128
+    for rec, draw in zip(records, draws):
+        px, py, pz = rec["px"], rec["py"], rec["pz"]
+        wstar, rowstar = rec["wstar"], rec["rowstar"]
+        # f32 live flags: Mosaic rejects i1 vectors as while_loop carries
+        # ("failed to legalize scf.yield"), same quirk as the march kernels
+        live0 = jnp.where(
+            (jnp.abs(draw) > 0.0) & (wstar >= 0.0), 1.0, 0.0
+        )
+
+        def cond(c):
+            return jnp.max(c[0]) > 0.5
+
+        def body(c, px=px, py=py, pz=pz, wstar=wstar, rowstar=rowstar,
+                 draw=draw):
+            (live_f,) = c
+            live = live_f > 0.5
+            w = jnp.min(jnp.where(live, wstar, jnp.float32(2**24))).astype(
+                jnp.int32
+            )
+            sel = live & (wstar == w.astype(jnp.float32))  # (1, COL)
+            tw = sph_ref[pl.ds(w, win), :]
+            dx = px - tw[:, 0:1]
+            dy = py - tw[:, 1:2]
+            dz = pz - tw[:, 2:3]
+            dc = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            inv = 1.0 / jnp.maximum(dc, 1e-30)
+            rows = lax.broadcasted_iota(jnp.int32, (win, px.shape[-1]), 0)
+            onehot = sel & (rows == rowstar.astype(jnp.int32))
+            wgt = jnp.where(onehot, draw, 0.0)  # (win, COL)
+            # d = |p - c| - r: dd/dc = -(p-c)/|p-c|, dd/dr = -1
+            gx = jnp.sum(-wgt * dx * inv, axis=1, keepdims=True)
+            gy = jnp.sum(-wgt * dy * inv, axis=1, keepdims=True)
+            gz = jnp.sum(-wgt * dz * inv, axis=1, keepdims=True)
+            gr = jnp.sum(-wgt, axis=1, keepdims=True)
+            blockg = jnp.concatenate(
+                [gx, gy, gz, gr] + [jnp.zeros_like(gx)] * 4, axis=1
+            )  # (win, 8)
+            dsph_ref[pl.ds(w, win), :] += blockg
+            return (jnp.where(sel, 0.0, live_f),)
+
+        lax.while_loop(cond, body, (live0,))
+
+
+def make_instanced_bwd_call(structure, height, width, cfg, ns_pad,
+                            interpret=False, full_height=None):
+    """The fused instanced backward pallas_call: (cam, tables..., *smalls,
+    residuals, cotangent) -> (dcam, *dsmalls, dsph [ns_pad, 8])."""
+    from loltracer_tpu.render.pallas_march import COL, P_H, P_W
+
+    fields = instanced_small_fields(structure)
+    from loltracer_tpu.render.pallas_scene import field_shape
+
+    gph, gpw = cdiv(height, P_H), cdiv(width, P_W)
+    nt = gph * gpw
+    n_res = num_residuals(structure)
+    grad_shapes = [field_shape(structure, f) for f in fields]
+
+    def _row(ch):
+        return pl.BlockSpec(
+            (ch, COL), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    def _acc():
+        # all grid steps map to the same block: sequential accumulation
+        return pl.BlockSpec(
+            (ns_pad, 8), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        functools.partial(
+            _instanced_bwd_kernel, structure, cfg, full_height or height,
+            width, gpw, fields,
+        ),
+        grid=(nt,),
+        in_specs=[_smem()]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [_smem()]
+        + [_smem() for _ in fields]
+        + [_row(n_res), _row(3)],
+        out_specs=tuple(
+            [_smem()] + [_smem() for _ in fields] + [_acc()]
+        ),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((CAM_SIZE,), jnp.float32)]
+            + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]
+            + [jax.ShapeDtypeStruct((ns_pad, 8), jnp.float32)]
+        ),
+        interpret=interpret,
+        name="lol_instanced_bwd",
+    )
+
+
+def make_instanced_training_renderer(
+    structure: SceneStructure,
+    height: int,
+    width: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    interpret: bool = False,
+) -> Callable[[SceneParams], jnp.ndarray]:
+    """Compile `params -> [H, W, 3] f32` through the fused instanced
+    forward+backward kernels, differentiable w.r.t. every scene parameter
+    (sphere positions/radii included) via custom_vjp — the instanced
+    analog of make_training_renderer. Requires envelope shadows."""
+    from loltracer_tpu.render.pallas_march import (
+        COL, P_H, P_W, _from_columns,
+    )
+    from loltracer_tpu.render.pallas_scene import pack_order
+
+    if not structure.instanced:
+        raise ValueError("requires an instanced scene")
+    if cfg.shadow_grad != "envelope":
+        raise ValueError(
+            "fused instanced training kernels implement the envelope shadow "
+            f"estimator; got shadow_grad={cfg.shadow_grad!r}"
+        )
+    fields = instanced_small_fields(structure)
+    gph, gpw = cdiv(height, P_H), cdiv(width, P_W)
+    ns = structure.num_spheres
+    ns_pad = max(128, cdiv(ns, 128) * 128)
+    fwd_call = make_instanced_fwd_call(
+        structure, gph * P_H, gpw * P_W, cfg, interpret=interpret,
+        full_height=height, with_residuals=True,
+    )
+    bwd_call = make_instanced_bwd_call(
+        structure, gph * P_H, gpw * P_W, cfg, ns_pad, interpret=interpret,
+        full_height=height,
+    )
+
+    def pack_all(params):
+        from loltracer_tpu.render.pallas_scene import pack_instanced_spheres
+
+        return pack_instanced_spheres(params, structure.material_ids)
+
+    def field_args(params):
+        return [
+            jnp.asarray(getattr(params, f)).astype(jnp.float32)
+            for f in fields
+        ]
+
+    @jax.custom_vjp
+    def render(params: SceneParams) -> jnp.ndarray:
+        spheres_t, mu_b, blk_b, bbox = pack_all(params)
+        cam = camera_pack(params, height, width, cfg)
+        img, _ = fwd_call(cam, spheres_t, mu_b, blk_b, bbox,
+                          *field_args(params))
+        return jnp.moveaxis(
+            _from_columns(img, gph, gpw), 0, -1
+        )[:height, :width, :]
+
+    def render_fwd(params):
+        spheres_t, mu_b, blk_b, bbox = pack_all(params)
+        cam = camera_pack(params, height, width, cfg)
+        img, res = fwd_call(cam, spheres_t, mu_b, blk_b, bbox,
+                            *field_args(params))
+        out = jnp.moveaxis(
+            _from_columns(img, gph, gpw), 0, -1
+        )[:height, :width, :]
+        return out, (params, cam, spheres_t, mu_b, blk_b, bbox, res)
+
+    def render_bwd(saved, ct):
+        import dataclasses as _dc
+
+        params, cam, spheres_t, mu_b, blk_b, bbox, res = saved
+        # cotangent back to the padded column layout
+        ctp = jnp.moveaxis(ct.astype(jnp.float32), -1, 0)
+        ph, pw = gph * P_H, gpw * P_W
+        if (ph, pw) != (height, width):
+            ctp = jnp.pad(ctp, ((0, 0), (0, ph - height), (0, pw - width)))
+        from loltracer_tpu.render.pallas_march import _to_columns
+
+        ctc = _to_columns(ctp, gph, gpw)
+        outs = bwd_call(cam, spheres_t, mu_b, blk_b, bbox,
+                        *field_args(params), res, ctc)
+        dcam, dfields, dsph = outs[0], outs[1:-1], outs[-1]
+
+        # camera chain (pure jnp pack)
+        _, cam_vjp = jax.vjp(
+            lambda p: camera_pack(p, height, width, cfg), params
+        )
+        (dparams,) = cam_vjp(dcam)
+        updates = {}
+        for f, g in zip(fields, dfields):
+            prev = getattr(dparams, f)
+            updates[f] = (prev + g).astype(prev.dtype)
+        # un-Morton the sphere-table gradient back to SoA order
+        order = pack_order(params)
+        dpoint = jnp.zeros((ns, 3), jnp.float32).at[order].set(
+            dsph[:ns, 0:3]
+        )
+        drad = jnp.zeros((ns,), jnp.float32).at[order].set(dsph[:ns, 3])
+        updates["sphere_point"] = (
+            jnp.asarray(dparams.sphere_point) + dpoint
+        ).astype(jnp.asarray(params.sphere_point).dtype)
+        updates["sphere_radius"] = (
+            jnp.asarray(dparams.sphere_radius) + drad
+        ).astype(jnp.asarray(params.sphere_radius).dtype)
+        return (_dc.replace(dparams, **updates),)
+
+    render.defvjp(render_fwd, render_bwd)
+
+    @jax.jit
+    def renderer(params: SceneParams) -> jnp.ndarray:
+        return render(params)
+
+    return renderer

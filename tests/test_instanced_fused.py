@@ -55,3 +55,95 @@ def test_instanced_fused_single_sphere():
         )(scene.params)
     )
     np.testing.assert_allclose(img, ref, atol=1e-4)
+
+
+def _penumbra_keep(scene, cfg, H, W):
+    """Mask of pixels whose gradients are penumbra-argmin independent,
+    from the fused instanced forward's own residuals (mirrors
+    tests/test_train.py _penumbra_mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from loltracer_tpu.render.pallas_march import P_H, P_W, _from_columns
+    from loltracer_tpu.render.pallas_scene import (
+        cdiv,
+        pack_instanced_spheres,
+    )
+    from loltracer_tpu.render.pallas_train import (
+        camera_pack,
+        instanced_small_fields,
+        make_instanced_fwd_call,
+    )
+
+    st = scene.structure
+    gph, gpw = cdiv(H, P_H), cdiv(W, P_W)
+    fwd = make_instanced_fwd_call(
+        st, gph * P_H, gpw * P_W, cfg, interpret=True, full_height=H,
+        with_residuals=True,
+    )
+    spheres_t, mu_b, blk_b, bbox = pack_instanced_spheres(
+        scene.params, st.material_ids
+    )
+    cam = camera_pack(scene.params, H, W, cfg)
+    args = [jnp.asarray(getattr(scene.params, f), jnp.float32)
+            for f in instanced_small_fields(st)]
+    _, res = jax.jit(fwd)(cam, spheres_t, mu_b, blk_b, bbox, *args)
+    res = np.asarray(_from_columns(res, gph, gpw))[:, :H, :W]
+    pen = np.zeros((H, W), bool)
+    for li in range(st.num_lights):
+        # penumbra = strictly between deep shadow and fully lit (res == 1.0
+        # exactly when no sampled step dipped below w*d/t = 1); the band is
+        # widened below so near-tie pixels on either side are excluded
+        pen |= (res[4 + 2 * li] > -0.2) & (res[4 + 2 * li] < 0.999)
+    return ~pen
+
+
+@pytest.mark.parametrize("clamp", [2.0, None], ids=["clamp", "exact"])
+def test_instanced_fused_gradients_match_banded(scene, clamp):
+    """The fused instanced custom_vjp tier's gradients (incl. sphere
+    positions/radii through the record/replay/scatter backward) match the
+    banded jnp path's AD away from penumbra-argmin near-ties."""
+    import jax
+    import jax.numpy as jnp
+
+    from loltracer_tpu.render.jnp_renderer import render_image_banded
+    from loltracer_tpu.render.pallas_train import (
+        make_instanced_training_renderer,
+    )
+
+    cfg = RenderConfig(
+        shadow_grad="envelope", march_backend="jnp", step_clamp=clamp
+    )
+    keep = _penumbra_keep(scene, cfg, H, W)[..., None].astype(np.float32)
+    target = 0.5
+
+    fused = make_instanced_training_renderer(
+        scene.structure, H, W, cfg, interpret=True
+    )
+
+    def grads(render_fn):
+        def loss(p):
+            img = render_fn(p)
+            return jnp.mean(jnp.asarray(keep) * (img - target) ** 2)
+
+        return jax.jit(jax.grad(loss))(scene.params)
+
+    g_f = grads(fused)
+    g_j = grads(
+        lambda p: render_image_banded(
+            scene.structure, p, H, W, cfg, band_rows=8
+        )
+    )
+    for f in (
+        "sphere_point", "sphere_radius", "plane_y", "light_point",
+        "mat_diffuse", "mat_ambient", "ambient_color", "cam_point",
+        "cam_direction", "cam_fov",
+    ):
+        a = np.asarray(getattr(g_f, f))
+        b = np.asarray(getattr(g_j, f))
+        assert np.isfinite(a).all(), f
+        scale = max(np.abs(b).max(), 1e-7)
+        np.testing.assert_allclose(
+            a, b, atol=2e-2 * scale, rtol=0, err_msg=f
+        )
+    assert np.abs(np.asarray(g_f.sphere_point)).max() > 0
