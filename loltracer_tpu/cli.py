@@ -44,6 +44,9 @@ def _build_cfg(args):
             kw[field] = v
     if getattr(args, "aa", False):
         kw["antialias"] = True
+    sc = getattr(args, "step_clamp", None)
+    if sc is not None:
+        kw["step_clamp"] = None if sc <= 0 else sc
     if getattr(args, "tan_fov", False):
         kw["atan_fov"] = False
     return RenderConfig(**kw)
@@ -55,6 +58,12 @@ def _load_scene(path, dtype=None):
     from loltracer_tpu.lol import parse_scene_file
     from loltracer_tpu.scene import build_scene
 
+    if str(path).startswith("instanced:"):
+        # procedural 10k+ primitive configuration, e.g. `instanced:10000`
+        # (BASELINE config 5; scenes.instanced_spheres)
+        from loltracer_tpu.scenes import instanced_spheres
+
+        return instanced_spheres(n=int(str(path).split(":")[1]))
     ast = parse_scene_file(path)
     return build_scene(ast, dtype=dtype or np.float32)
 
@@ -62,6 +71,11 @@ def _load_scene(path, dtype=None):
 def _add_render_flags(p):
     p.add_argument("--size", default="640x480", help="WxH (default 640x480)")
     p.add_argument("--aa", action="store_true", help="soft-coverage antialiasing")
+    p.add_argument(
+        "--step-clamp", type=float, default=None, dest="step_clamp",
+        help="instanced scenes: sphere-set step clamp (config.py "
+        "step_clamp; <=0 for exact; default exact)",
+    )
     p.add_argument("--tan-fov", action="store_true",
                    help="standard tan() pinhole instead of the reference's atan quirk")
     p.add_argument("--max-steps", type=int, dest="max_steps")
