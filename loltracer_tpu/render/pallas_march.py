@@ -49,8 +49,10 @@ from loltracer_tpu.render.pallas_scene import (
     active_fields,
     cdiv,
     czero,
+    march_loop,
     pack_instanced_spheres,
     read_param_values,
+    shadow_loop,
 )
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
@@ -93,37 +95,10 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
     rd_ref, out_ref = rest[n], rest[n + 1]
     clamp = cfg.step_clamp if structure.instanced else None
 
-    ro_x, ro_y, ro_z = ro_ref[0], ro_ref[1], ro_ref[2]
-    rdx, rdy, rdz = _planes(structure, rd_ref, 3)
-    zeros = czero(rdx) + czero(rdy) + czero(rdz)
-    inf = zeros + jnp.inf
-
-    def cond(c):
-        step, _, _, _, _, done_f = c
-        return (step < cfg.max_steps) & (jnp.min(done_f) < 0.5)
-
-    def body(c):
-        step, t, t_query, s_min, t_close, done_f = c
-        done = done_f > 0.5
-        d = scn.dist_only(
-            ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
-            active=~done, step_clamp=clamp,
-        )
-        new_t = t + d
-        # angular closest approach min_i d_i/t_i (march.py:83-92)
-        track = (~done) & (t > 0.0)
-        s = d / jnp.where(t > 0.0, t, 1.0)
-        better = track & (s < s_min)
-        s_min = jnp.where(better, s, s_min)
-        t_close = jnp.where(better, t, t_close)
-        t_query = jnp.where(done, t_query, t)
-        t = jnp.where(done, t, new_t)
-        now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
-        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-        return step + 1, t, t_query, s_min, t_close, done_f
-
-    _, t, t_query, s_min, t_close, _ = lax.while_loop(
-        cond, body, (0, zeros, zeros, inf, zeros, zeros)
+    ro = (ro_ref[0], ro_ref[1], ro_ref[2])
+    rd = _planes(structure, rd_ref, 3)
+    t, t_query, s_min, t_close = march_loop(
+        scn, cfg, ro, rd, track_aa=True, step_clamp=clamp
     )
     for i, v in enumerate((t, t_query, s_min, t_close)):
         if structure.instanced:
@@ -137,41 +112,10 @@ def _shadow_kernel(structure, cfg, fields, *refs):
     ro_ref, rd_ref, maxd_ref, out_ref = refs[n: n + 4]
 
     clamp = cfg.step_clamp if structure.instanced else None
-    rox, roy, roz = _planes(structure, ro_ref, 3)
-    rdx, rdy, rdz = _planes(structure, rd_ref, 3)
+    so = _planes(structure, ro_ref, 3)
+    ld = _planes(structure, rd_ref, 3)
     (max_dist,) = _planes(structure, maxd_ref, 1)
-    zeros = czero(rdx) + czero(rdy) + czero(rdz) + czero(rox)
-    inf = zeros + jnp.inf
-
-    def cond(c):
-        step, _, _, _, done_f = c
-        return (step < cfg.shadow_steps) & (jnp.min(done_f) < 0.5)
-
-    def body(c):
-        step, res, t, t_star, done_f = c
-        done = done_f > 0.5
-        d = scn.dist_only(
-            rox + t * rdx, roy + t * rdy, roz + t * rdz,
-            active=~done, step_clamp=clamp,
-        )
-        live = t > 0.0
-        safe_t = jnp.where(live, t, 1.0)
-        # first-iteration t == 0 semantics of shading.py soft_shadow:
-        # w*d/0 -> +/-inf by the sign of d (naive_renderer.c:83)
-        val = jnp.where(
-            live, cfg.shadow_w * d / safe_t, jnp.where(d < 0.0, -inf, inf)
-        )
-        better = (~done) & (val < res)
-        new_res = jnp.where(done, res, jnp.minimum(res, val))
-        t_star = jnp.where(better, t, t_star)
-        new_t = jnp.where(done, t, t + d)
-        now_done = (new_res < -1.0) | (new_t > max_dist)
-        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-        return step + 1, new_res, new_t, t_star, done_f
-
-    _, res, _, t_star, _ = lax.while_loop(
-        cond, body, (0, zeros + 1.0, zeros, zeros, zeros)
-    )
+    res, t_star = shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=clamp)
     for i, v in enumerate((res, t_star)):
         if structure.instanced:
             out_ref[i:i + 1, :] = v

@@ -711,3 +711,115 @@ class ScalarScene:
         for node in self.structure.objects:
             dist = jnp.minimum(dist, self.node_dist(node, px, py, pz))
         return dist
+
+
+def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
+    """THE sphere-trace march loop body (naive_renderer.c:46-69 semantics,
+    per-tile early exit, done-lane freezing, optional closest-approach
+    tracking for soft-coverage AA) — the single source shared by the value
+    march kernel (pallas_march) and the fused forward kernels
+    (pallas_train), so the loops cannot drift again (r2 verdict weak #3).
+
+    ro/rd are component tuples in the kernel's tile layout; returns
+    (t, t_query, s_min, t_close) with s_min/t_close meaningful only when
+    track_aa. Done flags are f32 (Mosaic rejects loop-carried i1
+    vectors)."""
+    ro_x, ro_y, ro_z = ro
+    rdx, rdy, rdz = rd
+    zeros = czero(rdx) + czero(rdy) + czero(rdz)
+    inf = zeros + jnp.inf
+
+    def cond(c):
+        step = c[0]
+        done_f = c[-1]
+        return (step < cfg.max_steps) & (jnp.min(done_f) < 0.5)
+
+    if track_aa:
+
+        def body(c):
+            step, t, t_query, s_min, t_close, done_f = c
+            done = done_f > 0.5
+            d = scn.dist_only(
+                ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
+                active=~done, step_clamp=step_clamp,
+            )
+            new_t = t + d
+            # angular closest approach min_i d_i/t_i (march.py:83-92)
+            track = (~done) & (t > 0.0)
+            s = d / jnp.where(t > 0.0, t, 1.0)
+            better = track & (s < s_min)
+            s_min = jnp.where(better, s, s_min)
+            t_close = jnp.where(better, t, t_close)
+            t_query = jnp.where(done, t_query, t)
+            t = jnp.where(done, t, new_t)
+            now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
+            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+            return step + 1, t, t_query, s_min, t_close, done_f
+
+        from jax import lax
+
+        _, t, t_query, s_min, t_close, _ = lax.while_loop(
+            cond, body, (0, zeros, zeros, inf, zeros, zeros)
+        )
+        return t, t_query, s_min, t_close
+
+    def body(c):
+        step, t, t_query, done_f = c
+        done = done_f > 0.5
+        d = scn.dist_only(
+            ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
+            active=~done, step_clamp=step_clamp,
+        )
+        new_t = t + d
+        t_query = jnp.where(done, t_query, t)
+        t = jnp.where(done, t, new_t)
+        now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
+        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+        return step + 1, t, t_query, done_f
+
+    from jax import lax
+
+    _, t, t_query, _ = lax.while_loop(cond, body, (0, zeros, zeros, zeros))
+    return t, t_query, zeros, zeros
+
+
+def shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=None):
+    """THE soft-shadow march loop body (naive_renderer.c:71-100 semantics
+    incl. the first-iteration w*d/0 -> +/-inf quirk), shared by the value
+    shadow kernel and the fused kernels; returns (res, t_star)."""
+    from jax import lax
+
+    sox, soy, soz = so
+    ldx, ldy, ldz = ld
+    zeros = czero(sox) + czero(soy) + czero(soz) + czero(ldx)
+    inf = zeros + jnp.inf
+
+    def cond(c):
+        step = c[0]
+        done_f = c[-1]
+        return (step < cfg.shadow_steps) & (jnp.min(done_f) < 0.5)
+
+    def body(c):
+        step, res, t, t_star, done_f = c
+        done = done_f > 0.5
+        d = scn.dist_only(
+            sox + t * ldx, soy + t * ldy, soz + t * ldz,
+            active=~done, step_clamp=step_clamp,
+        )
+        live = t > 0.0
+        safe_t = jnp.where(live, t, 1.0)
+        val = jnp.where(
+            live, cfg.shadow_w * d / safe_t, jnp.where(d < 0.0, -inf, inf)
+        )
+        better = (~done) & (val < res)
+        new_res = jnp.where(done, res, jnp.minimum(res, val))
+        t_star = jnp.where(better, t, t_star)
+        new_t = jnp.where(done, t, t + d)
+        now_done = (new_res < -1.0) | (new_t > max_dist)
+        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+        return step + 1, new_res, new_t, t_star, done_f
+
+    _, res, _, t_star, _ = lax.while_loop(
+        cond, body, (0, zeros + 1.0, zeros, zeros, zeros)
+    )
+    return res, t_star

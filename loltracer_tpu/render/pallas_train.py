@@ -51,8 +51,10 @@ from loltracer_tpu.render.pallas_scene import (
     active_fields,
     cdiv,
     czero,
+    march_loop,
     pack_instanced_spheres,
     read_param_values,
+    shadow_loop,
 )
 from loltracer_tpu.scene import SceneParams, SceneStructure
 
@@ -318,52 +320,12 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
     inf = zeros + jnp.inf
 
-    # --- march (render/pallas_march._march_kernel semantics; the
+    # --- march: the ONE shared loop body (pallas_scene.march_loop); the
     # closest-approach tracking for AA coverage is only carried when the
-    # config needs it) ------------------------------------------------------
-    def m_cond(c):
-        step = c[0]
-        done_f = c[-1]
-        return (step < cfg.max_steps) & (jnp.min(done_f) < 0.5)
-
-    if cfg.antialias:
-
-        def m_body(c):
-            step, t, t_query, s_min, t_close, done_f = c
-            done = done_f > 0.5
-            d = scn.dist_only(ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz)
-            new_t = t + d
-            track = (~done) & (t > 0.0)
-            s = d / jnp.where(t > 0.0, t, 1.0)
-            better = track & (s < s_min)
-            s_min = jnp.where(better, s, s_min)
-            t_close = jnp.where(better, t, t_close)
-            t_query = jnp.where(done, t_query, t)
-            t = jnp.where(done, t, new_t)
-            now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
-            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-            return step + 1, t, t_query, s_min, t_close, done_f
-
-        _, t, t_query, _, t_close, _ = lax.while_loop(
-            m_cond, m_body, (0, zeros, zeros, inf, zeros, zeros)
-        )
-    else:
-
-        def m_body(c):
-            step, t, t_query, done_f = c
-            done = done_f > 0.5
-            d = scn.dist_only(ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz)
-            new_t = t + d
-            t_query = jnp.where(done, t_query, t)
-            t = jnp.where(done, t, new_t)
-            now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
-            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-            return step + 1, t, t_query, done_f
-
-        _, t, t_query, _ = lax.while_loop(
-            m_cond, m_body, (0, zeros, zeros, zeros)
-        )
-        t_close = zeros
+    # config needs it ------------------------------------------------------
+    t, t_query, _, t_close = march_loop(
+        scn, cfg, ro, rd, track_aa=cfg.antialias
+    )
     hit = t < cfg.max_dist
 
     # Shading distance and material id (march.py intersect_aa semantics).
@@ -418,34 +380,8 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
         soy = py + ldy * cfg.shadow_offset
         soz = pz + ldz * cfg.shadow_offset
 
-        def s_cond(c):
-            step = c[0]
-            done_f = c[-1]
-            return (step < cfg.shadow_steps) & (jnp.min(done_f) < 0.5)
-
-        def s_body(c, sox=sox, soy=soy, soz=soz, ldx=ldx, ldy=ldy, ldz=ldz,
-                   light_dist=light_dist):
-            step, res, st, t_star, done_f = c
-            done = done_f > 0.5
-            d = scn.dist_only(sox + st * ldx, soy + st * ldy, soz + st * ldz)
-            live = st > 0.0
-            safe_t = jnp.where(live, st, 1.0)
-            # first-iteration t == 0: w*d/0 -> +/-inf by sign of d
-            # (naive_renderer.c:83; shading.py soft_shadow)
-            val = jnp.where(
-                live, cfg.shadow_w * d / safe_t,
-                jnp.where(d < 0.0, -inf, inf),
-            )
-            better = (~done) & (val < res)
-            new_res = jnp.where(done, res, jnp.minimum(res, val))
-            t_star = jnp.where(better, st, t_star)
-            new_t = jnp.where(done, st, st + d)
-            now_done = (new_res < -1.0) | (new_t > light_dist)
-            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-            return step + 1, new_res, new_t, t_star, done_f
-
-        _, res, _, t_star, _ = lax.while_loop(
-            s_cond, s_body, (0, zeros + 1.0, zeros, zeros, zeros)
+        res, t_star = shadow_loop(
+            scn, cfg, (sox, soy, soz), (ldx, ldy, ldz), light_dist
         )
         shadow_res.append(res)
         shadow_tstar.append(t_star)
@@ -800,34 +736,9 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
     inf = zeros + jnp.inf
 
-    # --- march (pallas_march instanced semantics: active-masked windowed
-    # traversal, AA closest-approach tracking when configured) ------------
-    def m_cond(c):
-        step = c[0]
-        done_f = c[-1]
-        return (step < cfg.max_steps) & (jnp.min(done_f) < 0.5)
-
-    def m_body(c):
-        step, t, t_query, s_min, t_close, done_f = c
-        done = done_f > 0.5
-        d = inst.dist_only(
-            ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
-            active=~done, step_clamp=clamp,
-        )
-        new_t = t + d
-        track = (~done) & (t > 0.0)
-        s = d / jnp.where(t > 0.0, t, 1.0)
-        better = track & (s < s_min)
-        s_min = jnp.where(better, s, s_min)
-        t_close = jnp.where(better, t, t_close)
-        t_query = jnp.where(done, t_query, t)
-        t = jnp.where(done, t, new_t)
-        now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
-        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-        return step + 1, t, t_query, s_min, t_close, done_f
-
-    _, t, t_query, _, t_close, _ = lax.while_loop(
-        m_cond, m_body, (0, zeros, zeros, inf, zeros, zeros)
+    # --- march: the shared loop body over the windowed traversal ---------
+    t, t_query, _, t_close = march_loop(
+        inst, cfg, ro, rd, track_aa=cfg.antialias, step_clamp=clamp
     )
     hit = t < cfg.max_dist
 
@@ -890,35 +801,9 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
         soy = py + ldy * cfg.shadow_offset
         soz = pz + ldz * cfg.shadow_offset
 
-        def s_cond(c):
-            step = c[0]
-            done_f = c[-1]
-            return (step < cfg.shadow_steps) & (jnp.min(done_f) < 0.5)
-
-        def s_body(c, sox=sox, soy=soy, soz=soz, ldx=ldx, ldy=ldy, ldz=ldz,
-                   light_dist=light_dist):
-            step, res, st, t_star, done_f = c
-            done = done_f > 0.5
-            d = inst.dist_only(
-                sox + st * ldx, soy + st * ldy, soz + st * ldz,
-                active=~done, step_clamp=clamp,
-            )
-            live = st > 0.0
-            safe_t = jnp.where(live, st, 1.0)
-            val = jnp.where(
-                live, cfg.shadow_w * d / safe_t,
-                jnp.where(d < 0.0, -inf, inf),
-            )
-            better = (~done) & (val < res)
-            new_res = jnp.where(done, res, jnp.minimum(res, val))
-            t_star = jnp.where(better, st, t_star)
-            new_t = jnp.where(done, st, st + d)
-            now_done = (new_res < -1.0) | (new_t > light_dist)
-            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-            return step + 1, new_res, new_t, t_star, done_f
-
-        _, res, _, t_star, _ = lax.while_loop(
-            s_cond, s_body, (0, zeros + 1.0, zeros, zeros, zeros)
+        res, t_star = shadow_loop(
+            inst, cfg, (sox, soy, soz), (ldx, ldy, ldz), light_dist,
+            step_clamp=clamp,
         )
         shadow_res.append(res)
         shadow_tstar.append(t_star)
