@@ -26,6 +26,16 @@ march is a frozen value computation re-attached via the implicit-function
 theorem at the hit, Danskin's theorem at the penumbra argmin, and the
 differentiable coverage alpha at the closest approach. tests/test_train.py
 checks image and gradient equivalence against the jnp path per scene.
+
+Round 3 additions: the forward kernel doubles as the forward-only
+renderer (with_residuals=False, used by render/pallas_renderer.py), and
+the whole tier extends to INSTANCED 10k+ sphere scenes — fused forward
+over the windowed traversal (make_instanced_renderer /
+make_instanced_fwd_call) and a record/replay/scatter backward that
+produces full sphere-pack gradients without differentiating the
+traversal (make_instanced_training_renderer; see the section comment
+above _RecordingDist). March/shadow loop bodies live in
+pallas_scene.march_loop/shadow_loop, shared with the value kernels.
 """
 
 from __future__ import annotations
