@@ -60,14 +60,26 @@ def main():
             except RuntimeError:
                 pass
 
-    from loltracer_tpu.lol import parse_scene_file
+    from loltracer_tpu.cli import _load_scene
     from loltracer_tpu.opt import masked_optimizer
     from loltracer_tpu.opt.inverse import DEFAULT_TRAINABLE
     from loltracer_tpu.parallel import make_mesh, make_sharded_train_step
     from loltracer_tpu.parallel.sharded import make_sharded_renderer
-    from loltracer_tpu.scene import build_scene
 
-    scene = build_scene(parse_scene_file(SCENE))
+    # `instanced:N` loads the procedural BASELINE config 5 scene; the
+    # sharded paths route it through the fused instanced kernels on TPU
+    # meshes (parallel/sharded._fused_row_renderer)
+    scene = _load_scene(SCENE)
+    from loltracer_tpu.config import RenderConfig
+
+    clamp_env = os.environ.get("SCALE_CLAMP", "2.0")
+    clamp = None if clamp_env.lower() in ("", "none", "0") else float(
+        clamp_env
+    )
+    cfg = RenderConfig(
+        shadow_grad="envelope" if MODE == "fwdbwd" else "exact",
+        step_clamp=clamp if scene.structure.instanced else None,
+    )
 
     counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
     base = None
@@ -78,17 +90,19 @@ def main():
         rays = height * WIDTH
 
         if MODE == "fwd":
-            fn = make_sharded_renderer(scene.structure, mesh, height, WIDTH)
+            fn = make_sharded_renderer(
+                scene.structure, mesh, height, WIDTH, cfg
+            )
             run = lambda: np.asarray(fn(scene.params)).sum()
         else:
             optimizer = masked_optimizer(
                 optax.adam(1e-3), scene.params, DEFAULT_TRAINABLE
             )
             step = make_sharded_train_step(
-                scene.structure, mesh, height, WIDTH, optimizer
+                scene.structure, mesh, height, WIDTH, optimizer, cfg
             )
             renderer = make_sharded_renderer(
-                scene.structure, mesh, height, WIDTH
+                scene.structure, mesh, height, WIDTH, cfg
             )
             target = renderer(scene.params)
             opt_state = optimizer.init(scene.params)
@@ -118,12 +132,27 @@ def main():
         records.append(rec)
         print(json.dumps(rec))
         sys.stdout.flush()
-    # persist the ladder for PERF.md (r2 verdict: every number in-tree)
+    # persist the ladder for PERF.md (r2 verdict: every number in-tree);
+    # ladders are MERGED by (scene, platform, mode) so the compiled and
+    # instanced configs coexist in one SCALING.json (r3 verdict item 1)
     out = os.environ.get("SCALE_OUT", "SCALING.json")
+    ladder = {"platform": devices[0].platform,
+              "rows_per_device": ROWS_PER_DEVICE, "width": WIDTH,
+              "scene": SCENE, "mode": MODE,
+              "step_clamp": clamp if scene.structure.instanced else None,
+              "records": records}
+    ladders = []
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            ladders = prev.get("ladders", [prev] if "records" in prev else [])
+        except (json.JSONDecodeError, OSError):
+            ladders = []
+    key = lambda l: (l.get("scene"), l.get("platform"), l.get("mode"))
+    ladders = [l for l in ladders if key(l) != key(ladder)] + [ladder]
     with open(out, "w") as f:
-        json.dump({"platform": devices[0].platform,
-                   "rows_per_device": ROWS_PER_DEVICE, "width": WIDTH,
-                   "scene": SCENE, "records": records}, f, indent=2)
+        json.dump({"ladders": ladders}, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -103,11 +103,34 @@ def cmd_render(args):
         scene.params = params_astype(scene.params, np.float64)
         img = render_golden(scene, w, h, cfg)
     elif args.backend == "pallas":
-        from loltracer_tpu.render.pallas_renderer import make_pallas_renderer
+        # off-TPU (LOLTRACE_PLATFORM=cpu) the kernels run in the Pallas
+        # interpreter — compiled Pallas lowering is TPU-only
+        from loltracer_tpu.render.backend import resolve_march_backend
 
-        img = np.asarray(
-            make_pallas_renderer(scene.structure, h, w, cfg)(scene.params)
-        )
+        interpret = resolve_march_backend("auto") != "pallas"
+        if scene.structure.instanced:
+            # instanced structures go through the fused instanced tier —
+            # make_pallas_renderer compiles the unrolled scene SDF and
+            # rejects them (ADVICE r3: the tier was unreachable from here)
+            from loltracer_tpu.render.pallas_train import (
+                make_instanced_renderer,
+            )
+
+            img = np.asarray(
+                make_instanced_renderer(
+                    scene.structure, h, w, cfg, interpret=interpret
+                )(scene.params)
+            )
+        else:
+            from loltracer_tpu.render.pallas_renderer import (
+                make_pallas_renderer,
+            )
+
+            img = np.asarray(
+                make_pallas_renderer(
+                    scene.structure, h, w, cfg, interpret=interpret
+                )(scene.params)
+            )
     else:
         from loltracer_tpu.render.jnp_renderer import make_renderer
 

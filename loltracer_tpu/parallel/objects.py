@@ -96,10 +96,11 @@ def _sharded_sdfs(structure: SceneStructure, cfg: RenderConfig,
         return jnp.maximum(jnp.asarray(clamp, d_bbox.dtype), d_bbox)
 
     def _local(params, p):
-        d_loc, id_loc = local(params, p)
+        d_unc, id_loc = local(params, p)
+        d_loc = d_unc
         if clamp is not None:
             d_loc = jnp.minimum(d_loc, _cut(params, p))
-        return d_loc, id_loc
+        return d_loc, id_loc, d_unc
 
     def _combine(d_loc):
         """pmin with a subgradient: pmin has no JAX differentiation rule,
@@ -112,7 +113,7 @@ def _sharded_sdfs(structure: SceneStructure, cfg: RenderConfig,
         return m + jnp.where(sg(d_loc) <= m, d_loc - sg(d_loc), 0.0)
 
     def sdf_id(params, p):
-        d_loc, id_loc = _local(params, p)
+        d_loc, id_loc, d_unc = _local(params, p)
         # globalize ids: local sphere i on shard s is global sphere
         # s*ns_local + i (object ids are 1-based; plane ids sit after ALL
         # spheres and shift by the global sphere count)
@@ -128,17 +129,23 @@ def _sharded_sdfs(structure: SceneStructure, cfg: RenderConfig,
             ),
         )
         d = _combine(d_loc)
-        # the winning shard(s) contribute their global id, everyone else a
-        # sentinel; min picks the lowest id (first-wins across shards)
+        # The winning shard(s) contribute their global id, everyone else a
+        # sentinel; min picks the lowest id (first-wins across shards).
+        # The winner test runs on the UNCLAMPED distances (a second pmin):
+        # the unsharded oracle's id is the unclamped argmin even under
+        # step_clamp (sdf.py make_scene_sdf_with_id), and testing the
+        # clamped values would tie EVERY shard at d_loc == cut wherever the
+        # cut wins, silently replacing the global argmin id with a
+        # min-over-local-argmins (ADVICE r3 low).
+        sg = lax.stop_gradient
+        d_unc_glob = lax.pmin(sg(d_unc), axis)
         big = jnp.int32(2**30)
-        gid_win = jnp.where(
-            lax.stop_gradient(d_loc) <= lax.stop_gradient(d), gid, big
-        )
+        gid_win = jnp.where(sg(d_unc) <= d_unc_glob, gid, big)
         gid = lax.pmin(gid_win, axis)
         return d, jnp.where(gid == big, 0, gid)
 
     def sdf(params, p):
-        d_loc, _ = _local(params, p)
+        d_loc, _, _ = _local(params, p)
         return _combine(d_loc)
 
     del shard_offset

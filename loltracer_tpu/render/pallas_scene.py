@@ -170,7 +170,13 @@ INSTANCED_GROUP = 32    # spheres per cull micro-block (bound granularity)
 # whose f32 cancellation error at |c| ~ 2e2 is ~3e-2 — the margin keeps
 # every bound a TRUE bound so culling stays exact (the sphere evaluation
 # itself stays componentwise on the VPU for bitwise parity with jnp).
+# The margin assumes TRUE f32 accumulation: the bound dot_generals pass
+# Precision.HIGHEST so the TPU MXU cannot silently run them as bf16
+# passes (whose ~1e0 rounding at these magnitudes would dwarf the margin
+# and cull visible spheres); cost is negligible — the bound passes are a
+# tiny fraction of the window evaluations they guard (ADVICE r3 medium).
 BOUND_MARGIN = 0.0625
+_BOUND_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _morton_codes(pos):
@@ -440,6 +446,7 @@ class InstancedScene:
         qb = jax.lax.dot_general(
             self.blk_ref[...], pm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
         ) + self.blk_ref[:, 5:6] + p2
         dcb = jnp.sqrt(jnp.maximum(qb, 0.0))
         u = jnp.min(dcb + self.blk_ref[:, 4:5], axis=0, keepdims=True)
@@ -450,6 +457,7 @@ class InstancedScene:
         qm = jax.lax.dot_general(
             self.mu_ref[...], pm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
         ) + self.mu_ref[:, 5:6] + p2  # (nmu_pad, COL)
         mR = self.mu_ref[:, 3:4]
         thr = gate + mR  # (nmu_pad, COL)
@@ -532,6 +540,7 @@ class InstancedScene:
         qb = jax.lax.dot_general(
             self.blk_ref[...], pm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
         ) + self.blk_ref[:, 5:6] + p2
         dcb = jnp.sqrt(jnp.maximum(qb, 0.0))
         u = jnp.min(dcb + self.blk_ref[:, 4:5], axis=0, keepdims=True)
@@ -540,6 +549,7 @@ class InstancedScene:
         qm = jax.lax.dot_general(
             self.mu_ref[...], pm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
         ) + self.mu_ref[:, 5:6] + p2
         mR = self.mu_ref[:, 3:4]
         thr = gate + mR

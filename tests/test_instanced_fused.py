@@ -89,13 +89,9 @@ def _penumbra_keep(scene, cfg, H, W):
             for f in instanced_small_fields(st)]
     _, res = jax.jit(fwd)(cam, spheres_t, mu_b, blk_b, bbox, *args)
     res = np.asarray(_from_columns(res, gph, gpw))[:, :H, :W]
-    pen = np.zeros((H, W), bool)
-    for li in range(st.num_lights):
-        # penumbra = strictly between deep shadow and fully lit (res == 1.0
-        # exactly when no sampled step dipped below w*d/t = 1); the band is
-        # widened below so near-tie pixels on either side are excluded
-        pen |= (res[4 + 2 * li] > -0.2) & (res[4 + 2 * li] < 0.999)
-    return ~pen
+    from _penumbra import penumbra_pixels
+
+    return ~penumbra_pixels(res, st.num_lights)
 
 
 @pytest.mark.parametrize("clamp", [2.0, None], ids=["clamp", "exact"])

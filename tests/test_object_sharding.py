@@ -60,3 +60,66 @@ def test_object_plus_row_sharding(scene):
         )(scene.params)
     )
     np.testing.assert_allclose(img, ref, atol=2e-5)
+
+
+def test_sharded_id_unclamped_argmin_where_cut_wins(scene):
+    """ADVICE r3: when the step-clamp cut wins on EVERY shard, all shards
+    tie at d == cut; the id must still be the global unclamped sphere
+    argmin (first-wins), not a min over each shard's local argmin."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from loltracer_tpu.parallel.objects import (
+        _sharded_sdfs,
+        pad_spheres_for_sharding,
+    )
+    from loltracer_tpu.render.sdf import make_scene_sdf_with_id
+
+    n_obj = 4
+    mesh = _obj_mesh(n_obj)
+    cfg = RenderConfig(march_backend="jnp", step_clamp=0.25)
+    st = scene.structure
+    ns = st.num_spheres
+    ns_pad = ns + ((-ns) % n_obj)
+    st_local = dataclasses.replace(st, num_spheres=ns_pad // n_obj,
+                                   material_ids=())
+    params = pad_spheres_for_sharding(scene.params, n_obj)
+
+    # probe points far from every sphere (several units above the slab):
+    # the cut wins everywhere, so the clamped value ties across shards
+    pts = np.stack(
+        [np.linspace(-30, 30, 16),
+         np.full(16, 30.0),
+         np.linspace(-60, -10, 16)], axis=-1
+    ).astype(np.float32)
+
+    def shard_fn(pp, p):
+        _, sdf_id = _sharded_sdfs(st_local, cfg, None, OBJ_AXIS)
+        return sdf_id(pp, p)
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(dataclasses.replace(
+            jax.tree_util.tree_map(lambda _: P(), params),
+            sphere_point=P(OBJ_AXIS), sphere_radius=P(OBJ_AXIS)),
+            P()),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    d_sh, id_sh = jax.jit(sharded)(params, jnp.asarray(pts))
+
+    # oracle: the UNCLAMPED global argmin (sdf.py docstring rule); restrict
+    # to sphere-winning probes (far above the floor, spheres always win)
+    d_ref, id_ref = make_scene_sdf_with_id(st, None)(scene.params, pts)
+    keep = np.asarray(id_ref) <= ns  # sphere-winning probes only
+    assert keep.any()
+    np.testing.assert_array_equal(
+        np.asarray(id_sh)[keep], np.asarray(id_ref)[keep]
+    )
+    # and the distances are still the clamped combine: never above the
+    # unclamped min, and the cut (= d_bbox ~ 19.4 here) strictly wins at
+    # some probes — the regime the id rule above is being tested in
+    assert (np.asarray(d_sh) <= np.asarray(d_ref) + 1e-5).all()
+    assert (np.asarray(d_sh) < np.asarray(d_ref) - 1e-2).any()
