@@ -69,11 +69,15 @@ def main():
     # envelope in fwd mode too: forward values are bitwise identical to
     # "exact" (tests/test_shadow_envelope.py) and the frozen shadow march
     # runs as a Pallas kernel instead of a full reverse-differentiable scan
+    # BENCH_SHADOW_CULL=0 disables the (value-exact) shadow segment cull
+    # for A/B measurement (config.py shadow_cull)
+    shadow_cull = os.environ.get("BENCH_SHADOW_CULL", "1") == "1"
     cfg = RenderConfig(
         shadow_grad=shadow_grad,
         antialias=antialias,
         march_backend=march_backend,
         step_clamp=step_clamp if structure.instanced else None,
+        shadow_cull=shadow_cull,
     )
 
     # Default to the fused Pallas tier on TPU for BOTH modes (fwd: the fused
@@ -158,7 +162,10 @@ def main():
             gnorm = sum(
                 jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g)
             )
-            return l, gnorm
+            # ONE fused scalar: each fetched leaf costs a full host round
+            # trip through the axon tunnel (~20 ms, measured — see
+            # PERF.md), which is measurement noise, not render time
+            return l + gnorm
 
         fn = jax.jit(both)
 

@@ -49,9 +49,19 @@ class RenderConfig:
     # (naive_renderer.c:183). True reproduces the reference.
     atan_fov: bool = True
 
-    # Tile shape for tiled/Pallas rendering; lane dim must stay 128.
-    tile_h: int = 8
-    tile_w: int = 128
+    # Tile shape for the compiled-tier Pallas kernels (None = auto).
+    # Auto resolves to 64x128 on hardware and 8x128 under the interpreter:
+    # values are tile-shape-INDEPENDENT (done lanes freeze individually),
+    # but the march/shadow loops pay a serial scalar-control cost per loop
+    # iteration per tile, so fewer/bigger tiles win despite more worst-
+    # lane masked steps — measured on v5e (scene4 @1080p fwdbwd: 18.9M at
+    # 8x128 -> 31.0M at 64x128; 128x128 exceeds the backward kernel's
+    # VMEM). The height dimension is capped to the (padded) image/shard
+    # height. Lane dim must stay a multiple of 128. Set explicitly for
+    # exotic scenes (many lights -> more residual planes -> smaller tiles
+    # to fit VMEM).
+    tile_h: int = None
+    tile_w: int = None
 
     # March backend for the differentiable render path's (stop-gradient'd)
     # sphere-trace: "auto" uses the fused Pallas kernel on TPU and the jnp
@@ -80,6 +90,16 @@ class RenderConfig:
     #                from O(steps) to O(1) SDF evals.
     shadow_grad: str = "exact"
 
+    # Shadow-march segment culling (instanced Pallas tier): before each
+    # per-light shadow march, a conservative segment-vs-block bound
+    # (pallas_scene.InstancedScene.segment_lit) marks rays whose penumbra
+    # value provably stays > 1 along the whole ray; those lanes start the
+    # march pre-done with res = 1.0 / t_star = 0 — bitwise what the march
+    # would have produced — and fully-lit patches skip the 128-step loop
+    # entirely. Value-exact (the bound is one-sided), so this is purely a
+    # speed knob; off exists for A/B measurement.
+    shadow_cull: bool = True
+
     # Step clamp for INSTANCED scenes (None = exact full SDF): the march
     # evaluates the step-clamped scene distance min(d, step_clamp) instead
     # of d. Semantically simple (one extra min, reproduced identically by
@@ -96,6 +116,27 @@ class RenderConfig:
     # several-fold (render/pallas_scene.py InstancedScene). Ignored for
     # compiled (non-instanced) structures.
     step_clamp: float = None
+
+    # Separate step clamp for the per-light SHADOW marches of instanced
+    # scenes (None = follow step_clamp). The primary march wants a small
+    # clamp (it sets the traversal's candidate-ball radius, see above);
+    # shadow marches are LONGER (up to the light distance) and their
+    # penumbra values only need exact distances below light_dist/shadow_w
+    # (val = w*d/t < 1 requires d < t/w <= light_dist/w, ~2 units at
+    # w = 50), so they tolerate a much larger clamp — fewer, bigger steps
+    # across the same field. Like step_clamp this is a documented
+    # semantics knob reproduced identically by the jnp oracle path and the
+    # fused kernels (penumbra res/t* depend on the sampled trajectory
+    # either way); values below 1 are unchanged whenever
+    # shadow-march t stays <= shadow_w * min(step_clamp, shadow_step_clamp).
+    shadow_step_clamp: float = None
+
+    def effective_shadow_clamp(self):
+        return (
+            self.shadow_step_clamp
+            if self.shadow_step_clamp is not None
+            else self.step_clamp
+        )
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -152,6 +152,50 @@ def _sharded_sdfs(structure: SceneStructure, cfg: RenderConfig,
     return sdf, sdf_id
 
 
+def _make_pallas_pmin_sdf(structure_local, cfg, axis, interpret, params,
+                          jnp_sdf):
+    """The object-sharded scene SDF evaluated through the PALLAS windowed
+    traversal (r3 verdict item 4): this device's sphere shard is packed
+    into the traversal tables ONCE per render, every evaluation runs
+    pallas_march.make_instanced_eval over the local tables with the
+    AXIS-COMBINED bbox (so the step-clamp cut matches the unsharded
+    oracle), and the per-device results pmin-combine — the march loop
+    stays lockstep across the object group exactly as in the jnp variant.
+
+    Differentiability: the Pallas eval is value-only, so the function is a
+    custom_jvp whose tangent re-evaluates through the jnp twin `jnp_sdf`
+    (values agree to f32 exactness — the traversal is exact; reverse mode
+    falls out of the jvp). The gradient consumers are the re-attachment
+    sites (IFT numerator/denominator, normal taps, penumbra re-eval),
+    called O(1) times per pixel; the hot march/shadow loops stop-gradient
+    the SDF anyway."""
+    from loltracer_tpu.render.pallas_march import make_instanced_eval
+    from loltracer_tpu.render.pallas_scene import pack_instanced_spheres
+
+    eval_fn = make_instanced_eval(structure_local, cfg, interpret=interpret)
+    spheres_t, mu_b, blk_b, bbox_loc = pack_instanced_spheres(params)
+    sg = lax.stop_gradient
+    lo = lax.pmin(sg(bbox_loc[:3]), axis)
+    hi = lax.pmax(sg(bbox_loc[3:]), axis)
+    tables = (sg(spheres_t), sg(mu_b), sg(blk_b),
+              jnp.concatenate([lo, hi]))
+
+    @jax.custom_jvp
+    def sdf(params_, p):
+        d_loc = eval_fn(tables, jnp.asarray(params_.plane_y), p)
+        return lax.pmin(d_loc, axis)
+
+    @sdf.defjvp
+    def sdf_jvp(primals, tangents):
+        params_, p = primals
+        dparams, dp = tangents
+        val = sdf(params_, p)
+        _, tan = jax.jvp(jnp_sdf, (params_, p), (dparams, dp))
+        return val, tan
+
+    return sdf
+
+
 def make_object_sharded_renderer(
     structure: SceneStructure,
     mesh: Mesh,
@@ -166,11 +210,21 @@ def make_object_sharded_renderer(
     mesh). Every device in an object group evaluates its sphere shard and
     the march runs on the pmin-combined distance; results are bitwise
     independent of the object-mesh size (only the reduction tree order of
-    identical-value pmins differs)."""
+    identical-value pmins differs).
+
+    With cfg.march_backend resolving to "pallas"/"pallas-interpret", each
+    device's local evaluation runs through the Pallas windowed-traversal
+    kernel (_make_pallas_pmin_sdf) instead of the jnp block scan — the
+    composition of the object axis with the Pallas tier."""
     if not structure.instanced:
         raise ValueError("object sharding applies to instanced scenes")
     n_obj = mesh.shape[obj_axis]
-    cfg = cfg.replace(march_backend="jnp")  # custom sdf -> jnp march
+    from loltracer_tpu.render.backend import resolve_march_backend
+
+    backend = resolve_march_backend(cfg.march_backend, mesh)
+    use_pallas = backend in ("pallas", "pallas-interpret")
+    interpret = backend == "pallas-interpret"
+    cfg = cfg.replace(march_backend="jnp")  # custom sdf -> jnp march loop
 
     # static shard bookkeeping: spheres pad to a multiple of the object
     # mesh (sentinel radius, never wins); ids stay 1..ns for real spheres
@@ -205,6 +259,10 @@ def make_object_sharded_renderer(
 
     def render_shard(params: SceneParams, rows):
         sdf, sdf_id = _sharded_sdfs(structure_local, cfg, None, obj_axis)
+        if use_pallas:
+            sdf = _make_pallas_pmin_sdf(
+                structure_local, cfg, obj_axis, interpret, params, sdf
+            )
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg)
         pr = pixel_radius(params, height, cfg) if cfg.antialias else None
         return render_rays(

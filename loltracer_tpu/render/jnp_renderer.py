@@ -115,6 +115,14 @@ def render_rays(
         sdf = make_scene_sdf(structure, clamp)
     if sdf_id is None:
         sdf_id = make_scene_sdf_with_id(structure, clamp)
+    # shadow marches may run under their own (larger) step clamp
+    # (config.py shadow_step_clamp); with an sdf override (object-sharded
+    # path) shadows share the override unchanged
+    shadow_clamp = cfg.effective_shadow_clamp() if structure.instanced else None
+    if override or shadow_clamp == clamp:
+        shadow_sdf = sdf
+    else:
+        shadow_sdf = make_scene_sdf(structure, shadow_clamp)
 
     use_aa = cfg.antialias and pixel_rad is not None
     march_fn = None if override else _select_march(structure, ro, rd, cfg)
@@ -128,7 +136,7 @@ def render_rays(
     p = ro + t[..., None] * rd
     n = get_normal(sdf, params, p, t, cfg)
     color = shade(
-        structure, params, sdf, p, n, obj_id, cfg,
+        structure, params, shadow_sdf, p, n, obj_id, cfg,
         shadow_march_fn=shadow_march_fn,
     )
     if use_aa:

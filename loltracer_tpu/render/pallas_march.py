@@ -111,7 +111,7 @@ def _shadow_kernel(structure, cfg, fields, *refs):
     scn, n = _build_geom_scene(structure, fields, refs)
     ro_ref, rd_ref, maxd_ref, out_ref = refs[n: n + 4]
 
-    clamp = cfg.step_clamp if structure.instanced else None
+    clamp = cfg.effective_shadow_clamp() if structure.instanced else None
     so = _planes(structure, ro_ref, 3)
     ld = _planes(structure, rd_ref, 3)
     (max_dist,) = _planes(structure, maxd_ref, 1)
@@ -129,10 +129,17 @@ def _shadow_kernel(structure, cfg, fields, *refs):
 # union in InstancedScene.dist_only stays small — 4-row x 128-column strips
 # spanned so much of the image width that most sphere blocks stayed
 # relevant to SOME ray and the per-tile culling bought almost nothing
-# (52.9 krays/s, round-2 verdict).
-COL = 512
-P_H = 32
-P_W = 16
+# (52.9 krays/s, round-2 verdict). 16x32 patches measured best in the r4
+# sweep (32x16: -6% — shadow rays leave a squatter patch footprint more
+# coherently toward elevated lights; 8x64: -7%; see PERF.md). Env
+# overrides are an experiment hook for perf sweeps (COL must stay a
+# multiple of 128 and equal P_H * P_W).
+import os as _os
+
+COL = int(_os.environ.get("LOL_COL", "512"))
+P_H = int(_os.environ.get("LOL_P_H", "16"))
+P_W = int(_os.environ.get("LOL_P_W", "32"))
+assert COL == P_H * P_W and COL % 128 == 0
 
 
 def _to_columns(arr, gph, gpw):
@@ -184,14 +191,91 @@ def _geom_specs_and_args(structure, fields, params):
     return specs, args
 
 
-def _pad_dims(structure, height, width):
+def _pad_dims(structure, height, width, tile=None):
     """(gh, gw, ph, pw): grid and padded image dims in the structure's
-    tiling ((P_H, P_W) patches for instanced, (8, 128) tiles otherwise)."""
+    tiling ((P_H, P_W) patches for instanced, resolve_tile tiles
+    otherwise)."""
     if structure.instanced:
         gh, gw = cdiv(height, P_H), cdiv(width, P_W)
         return gh, gw, gh * P_H, gw * P_W
-    gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
-    return gh, gw, gh * TILE_H, gw * TILE_W
+    th, tw = tile or (TILE_H, TILE_W)
+    gh, gw = cdiv(height, th), cdiv(width, tw)
+    return gh, gw, gh * th, gw * tw
+
+
+def _eval_kernel(structure, cfg, has_planes, *refs):
+    """One windowed-traversal scene eval per (3, COL) point tile."""
+    sphere_ref, mu_ref, blk_ref, bbox_ref = refs[:4]
+    n = 4
+    plane_vals = []
+    if has_planes:
+        plane_vals = [refs[4][i] for i in range(structure.num_planes)]
+        n = 5
+    p_ref, out_ref = refs[n], refs[n + 1]
+    inst = InstancedScene(
+        structure, sphere_ref, mu_ref, blk_ref, plane_vals, bbox_ref=bbox_ref
+    )
+    px, py, pz = (p_ref[i:i + 1, :] for i in range(3))
+    out_ref[0:1, :] = inst.dist_only(
+        px, py, pz, step_clamp=cfg.step_clamp
+    )
+
+
+def make_instanced_eval(
+    structure: SceneStructure,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    interpret: bool = False,
+) -> Callable:
+    """Build `eval_fn(tables, plane_y, p[..., 3]) -> dist[...]`: ONE
+    bound-guided windowed-traversal evaluation of the (possibly clamped)
+    instanced scene SDF at arbitrary points, as a Pallas kernel.
+
+    `tables` = (spheres_t, mu_bounds, blk_bounds, bbox) from
+    pack_instanced_spheres — passed explicitly so the OBJECT-SHARDED path
+    (parallel/objects.py) can pack each device's local sphere shard once
+    per render and pmin-combine the per-device results per march step
+    while still evaluating through the Pallas traversal (r3 verdict item
+    4: composing object-axis sharding with the Pallas tier). `bbox` may
+    be the axis-combined global AABB so the step-clamp cut matches the
+    unsharded oracle. Value-only (callers attach gradients via a jnp
+    twin, e.g. objects._pmin_pallas_sdf)."""
+    kernel = functools.partial(
+        _eval_kernel, structure, cfg, bool(structure.num_planes)
+    )
+
+    def eval_fn(tables, plane_y, p):
+        spheres_t, mu_b, blk_b, bbox = tables
+        batch = p.shape[:-1]
+        flat = p.astype(jnp.float32).reshape(-1, 3)
+        npts = flat.shape[0]
+        npad = max(COL, cdiv(npts, COL) * COL)
+        if npad != npts:
+            flat = jnp.pad(flat, ((0, npad - npts), (0, 0)), mode="edge")
+        pc = flat.T.reshape(3, npad)  # (3, NPAD)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        args = [spheres_t, mu_b, blk_b, bbox]
+        if structure.num_planes:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            args.append(jnp.asarray(plane_y).astype(jnp.float32))
+        in_specs.append(_row_spec(3))
+        call = pl.pallas_call(
+            kernel,
+            grid=(npad // COL,),
+            in_specs=in_specs,
+            out_specs=_row_spec(1),
+            out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            interpret=interpret,
+            name="lol_instanced_eval",
+        )
+        out = call(*args, pc)
+        return out[0, :npts].reshape(batch)
+
+    return eval_fn
 
 
 def make_pallas_shadow_march(
@@ -210,8 +294,11 @@ def make_pallas_shadow_march(
     kernel = functools.partial(_shadow_kernel, structure, cfg, fields)
 
     def shadow_fn(params: SceneParams, ro, rd, max_dist):
+        from loltracer_tpu.render.pallas_scene import resolve_tile
+
         height, width = rd.shape[0], rd.shape[1]
-        gh, gw, ph, pw = _pad_dims(structure, height, width)
+        tile = resolve_tile(cfg, interpret, height, structure.num_lights)
+        gh, gw, ph, pw = _pad_dims(structure, height, width, tile)
         rop = jnp.moveaxis(ro.astype(jnp.float32), -1, 0)  # (3, H, W)
         rdp = jnp.moveaxis(rd.astype(jnp.float32), -1, 0)
         mdp = max_dist.astype(jnp.float32)[None]  # (1, H, W)
@@ -244,7 +331,7 @@ def make_pallas_shadow_march(
             for ch in (3, 3, 1):
                 in_specs.append(
                     pl.BlockSpec(
-                        (ch, TILE_H, TILE_W),
+                        (ch,) + tile,
                         lambda i, j: (0, i, j),
                         memory_space=pltpu.VMEM,
                     )
@@ -254,7 +341,7 @@ def make_pallas_shadow_march(
                 grid=(gh, gw),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec(
-                    (2, TILE_H, TILE_W),
+                    (2,) + tile,
                     lambda i, j: (0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
@@ -281,8 +368,11 @@ def make_pallas_march(
     kernel = functools.partial(_march_kernel, structure, cfg, fields)
 
     def march_fn(params: SceneParams, ro, rd) -> MarchResult:
+        from loltracer_tpu.render.pallas_scene import resolve_tile
+
         height, width = rd.shape[0], rd.shape[1]
-        gh, gw, ph, pw = _pad_dims(structure, height, width)
+        tile = resolve_tile(cfg, interpret, height, structure.num_lights)
+        gh, gw, ph, pw = _pad_dims(structure, height, width, tile)
         rdp = jnp.moveaxis(rd.astype(jnp.float32), -1, 0)  # (3, H, W)
         if (ph, pw) != (height, width):
             # edge-replicated rays: padded lanes march real geometry, so the
@@ -313,7 +403,7 @@ def make_pallas_march(
         else:
             in_specs.append(
                 pl.BlockSpec(
-                    (3, TILE_H, TILE_W),
+                    (3,) + tile,
                     lambda i, j: (0, i, j),
                     memory_space=pltpu.VMEM,
                 )
@@ -323,7 +413,7 @@ def make_pallas_march(
                 grid=(gh, gw),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec(
-                    (4, TILE_H, TILE_W),
+                    (4,) + tile,
                     lambda i, j: (0, i, j),
                     memory_space=pltpu.VMEM,
                 ),

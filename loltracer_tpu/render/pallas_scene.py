@@ -24,8 +24,44 @@ from jax.experimental import pallas as pl
 
 from loltracer_tpu.scene import SceneStructure
 
-TILE_H = 8
-TILE_W = 128
+import os as _os_tiles
+
+# Compiled-tier DEFAULT tile shape under the interpreter and the floor of
+# the auto-resolution (resolve_tile): (8, 128) is the f32 VPU register
+# shape. On hardware the kernels default to 64x128 — the march/shadow
+# loops pay a serial scalar-control cost per loop iteration per tile, so
+# fewer/bigger tiles win (r4 sweep in PERF.md; the old fixed 8x128 left
+# 1.6x on the table). Env override = perf-sweep hook.
+TILE_H = int(_os_tiles.environ.get("LOL_TILE_H", "8"))
+TILE_W = int(_os_tiles.environ.get("LOL_TILE_W", "128"))
+_HW_TILE_H = int(_os_tiles.environ.get("LOL_HW_TILE_H", "64"))
+
+
+def resolve_tile(cfg, interpret: bool, height: int = None,
+                 num_lights: int = 2):
+    """The compiled-tier tile shape for this config/target: explicit
+    cfg.tile_h/tile_w win; else 64x128 on hardware, 8x128 under the
+    interpreter (keeps CPU equivalence tests fast — values are identical
+    across tile shapes, see config.py). The height dim caps at the padded
+    image/shard height so short row shards don't pad 8x, and halves per
+    pair of lights beyond two: the backward kernel's VMEM footprint grows
+    with the residual planes (4 + 2L) and sat at 14.8M of the 16M scoped
+    limit for scene4 (L=2) at 64x128 — 80x128 already OOMs (measured)."""
+    th = cfg.tile_h
+    if th is None:
+        if interpret:
+            th = TILE_H
+        else:
+            th = _HW_TILE_H
+            while num_lights > 2 and th > 8:
+                th //= 2
+                num_lights -= 2
+    tw = cfg.tile_w if cfg.tile_w is not None else TILE_W
+    if height is not None:
+        th = max(8, min(th, cdiv(height, 8) * 8))
+    if th % 8 or tw % 128:
+        raise ValueError(f"tile ({th}, {tw}) must be (8k, 128k)")
+    return th, tw
 
 # All scene-parameter fields a kernel may read from SMEM, in canonical order.
 PARAM_FIELDS = [
@@ -163,8 +199,18 @@ def array_param_values(structure: SceneStructure, params, fields=None) -> Dict:
     return values
 
 
-INSTANCED_LANES = 128   # spheres per eval window (the pairwise sublane dim)
-INSTANCED_GROUP = 32    # spheres per cull micro-block (bound granularity)
+import os as _os
+
+# Spheres per eval window (the pairwise sublane dim). 256 measured best on
+# v5e for the 10k-sphere config (128: -9%, 64: -31%, 512: -21%; r4 sweep
+# in PERF.md); env override = sweep hook.
+INSTANCED_LANES = int(_os.environ.get("LOL_INSTANCED_LANES", "256"))
+# Spheres per cull micro-block (bound granularity). The sweet spot trades
+# bound-radius tightness (smaller groups -> fewer window picks) against
+# the height of the per-step eligibility pass (fewer rows for bigger
+# groups); with the 256-sphere windows, 64 measured best on v5e (32: -2%,
+# 128: -13%, 16: -26%; r4 sweep in PERF.md). Env override = sweep hook.
+INSTANCED_GROUP = int(_os.environ.get("LOL_INSTANCED_GROUP", "64"))
 # Conservative slack added to micro-block/block bound radii: the bound
 # passes compute |p - ctr| via the MXU expansion |c|^2 - 2c.p + |p|^2,
 # whose f32 cancellation error at |c| ~ 2e2 is ~3e-2 — the margin keeps
@@ -517,6 +563,66 @@ class InstancedScene:
             dmin = jnp.minimum(dmin, py - y)
         return dmin
 
+    def segment_lit(self, so, ld, seg_len, step_clamp, shadow_w):
+        """(1, COL) f32 flags: 1.0 where the shadow ray from `so` toward
+        unit `ld` is PROVABLY fully lit — every sampled penumbra value
+        val(t) = w * d_eff(t) / t stays > 1 for all t in (0, seg_len] — so
+        the whole shadow march can be skipped with bitwise-identical
+        results (res stays exactly 1.0: res = min(1.0, vals) only moves
+        when some val < 1, and t_star stays 0; shadow_loop init_done).
+
+        The bound: the minimum distance from the segment [so, so+T*ld] to
+        128-sphere block b is at least |seg - ctr_b| - R_b (R_b the pack's
+        bound radius, already margin-inflated); the segment-to-center
+        distance comes from two MXU passes (|c - so|^2 expansion + c.ld),
+        with one extra BOUND_MARGIN subtracted for the expansion rounding.
+        Then for t <= T:
+
+          val(t) = w * min(d_sph(t), cut(t), planes(t)) / t
+          min(d_sph, cut) >= min(d_min_sph, clamp)     (cut >= clamp)
+          w * min(d_min_sph, clamp) / T > 1            => sphere part lit
+          plane y: w * (a + b*T) / T > 1, a = so_y - y >= 0, b = ld_y
+            ((a + b*t)/t is monotone decreasing for a >= 0: min at t = T)
+
+        All comparisons are strict and one-sided, so a failed bound only
+        costs the skipped optimization, never correctness. Cost: ~one
+        window-evaluation equivalent per light per patch, against the
+        10-50 patch-steps x O(10) window evals of a full shadow march."""
+        from jax import lax
+
+        sox, soy, soz = so
+        ldx, ldy, ldz = ld
+        T = seg_len
+        pm, o2 = self._pm(sox, soy, soz)
+        # |c - so|^2 per block, via the same expansion as the bound passes
+        c2 = jax.lax.dot_general(
+            self.blk_ref[...], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
+        ) + self.blk_ref[:, 5:6] + o2  # (nbk, COL)
+        # proj = (c - so) . ld  per block
+        z = czero(ldx)
+        rhs_l = jnp.concatenate([ldx, ldy, ldz, z, z, z, z, z], axis=0)
+        cl = jax.lax.dot_general(
+            self.blk_ref[...], rhs_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
+        )  # (nbk, COL)
+        ol = sox * ldx + soy * ldy + soz * ldz  # (1, COL)
+        proj = cl - ol
+        tcl = jnp.clip(proj, 0.0, T)
+        dseg2 = jnp.maximum(c2 - tcl * (2.0 * proj - tcl), 0.0)
+        dseg = jnp.sqrt(dseg2)
+        d_lo = dseg - self.blk_ref[:, 3:4] - BOUND_MARGIN  # (nbk, COL)
+        d_min = jnp.min(d_lo, axis=0, keepdims=True)  # (1, COL)
+        if step_clamp is not None:
+            d_min = jnp.minimum(d_min, jnp.float32(step_clamp))
+        lit = shadow_w * d_min > T
+        for y in self.plane_vals:
+            a = soy - y
+            lit = lit & (a >= 0.0) & (shadow_w * (a + ldy * T) > T)
+        return jnp.where(lit, 1.0, 0.0)
+
     def sdf_track(self, px, py, pz, active=None, step_clamp=None):
         """Winner-tracking traversal: same eligibility/window structure as
         dist_only, additionally tracking per ray the winning SPHERE's
@@ -793,10 +899,17 @@ def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
     return t, t_query, zeros, zeros
 
 
-def shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=None):
+def shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=None,
+                init_done=None):
     """THE soft-shadow march loop body (naive_renderer.c:71-100 semantics
     incl. the first-iteration w*d/0 -> +/-inf quirk), shared by the value
-    shadow kernel and the fused kernels; returns (res, t_star)."""
+    shadow kernel and the fused kernels; returns (res, t_star).
+
+    `init_done` ((1, COL) f32, optional) marks lanes PROVEN fully lit by a
+    conservative bound (InstancedScene.segment_lit): they start done with
+    res = 1.0 / t_star = 0 — bitwise what the march would produce — and a
+    fully pre-done tile skips the loop entirely (the cond sees
+    min(done) >= 0.5 before the first iteration)."""
     from jax import lax
 
     sox, soy, soz = so
@@ -829,7 +942,8 @@ def shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=None):
         done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
         return step + 1, new_res, new_t, t_star, done_f
 
+    done0 = zeros if init_done is None else zeros + init_done
     _, res, _, t_star, _ = lax.while_loop(
-        cond, body, (0, zeros + 1.0, zeros, zeros, zeros)
+        cond, body, (0, zeros + 1.0, zeros, zeros, done0)
     )
     return res, t_star

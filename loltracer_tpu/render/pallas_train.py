@@ -129,14 +129,17 @@ def _rays_from_xy(cam, height, width, x, y):
     return ro, (rdx / norm, rdy / norm, rdz / norm)
 
 
-def _rays_from_cam(cam, height, width, ti, tj):
-    """(8, 128)-tile pixel rays for tile (ti, tj) (pl.program_id in
-    kernels; plain ints in out-of-kernel tests); cam[15] = row offset."""
+def _rays_from_cam(cam, height, width, ti, tj, tile=None):
+    """(th, tw)-tile pixel rays for tile (ti, tj) (pl.program_id in
+    kernels; plain ints in out-of-kernel tests); cam[15] = row offset.
+    `tile` defaults to the interpreter tile (pallas_scene.resolve_tile
+    picks the hardware shape in the kernel builders)."""
+    th, tw = tile or (TILE_H, TILE_W)
     f32 = jnp.float32
-    rows = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    y = cam[15] + (ti * TILE_H + rows).astype(f32)
-    x = (tj * TILE_W + cols).astype(f32)
+    rows = lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+    y = cam[15] + (ti * th + rows).astype(f32)
+    x = (tj * tw + cols).astype(f32)
     return _rays_from_xy(cam, height, width, x, y)
 
 
@@ -312,7 +315,7 @@ def _shade_from_frozen(structure, cfg, scn, cam,
 
 
 def _train_fwd_kernel(structure, cfg, height, width, fields,
-                      with_residuals, cam_ref, *refs):
+                      with_residuals, tile, cam_ref, *refs):
     param_refs = dict(zip(fields, refs[: len(fields)]))
     if with_residuals:
         img_ref, res_ref = refs[len(fields):]
@@ -324,7 +327,7 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
 
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    ro, rd = _rays_from_cam(cam, height, width, ti, tj)
+    ro, rd = _rays_from_cam(cam, height, width, ti, tj, tile)
     ro_x, ro_y, ro_z = ro
     rdx, rdy, rdz = rd
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
@@ -402,7 +405,7 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
     r, g, b = _shade_from_frozen(
         structure, cfg, scn, cam, t_sh, hit_f, mat_f, den,
         shadow_res, shadow_tstar,
-        lambda c: _rays_from_cam(c, height, width, ti, tj),
+        lambda c: _rays_from_cam(c, height, width, ti, tj, tile),
     )
 
     img_ref[0, :, :] = r
@@ -418,7 +421,7 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
             res_ref[5 + 2 * li, :, :] = shadow_tstar[li]
 
 
-def _train_bwd_kernel(structure, cfg, height, width, fields,
+def _train_bwd_kernel(structure, cfg, height, width, fields, tile,
                       cam_ref, *refs):
     nf = len(fields)
     param_refs = dict(zip(fields, refs[:nf]))
@@ -445,7 +448,7 @@ def _train_bwd_kernel(structure, cfg, height, width, fields,
         return _shade_from_frozen(
             structure, cfg, scn, cam, t_sh, hit_f, mat_f, den,
             shadow_res, shadow_tstar,
-            lambda c: _rays_from_cam(c, height, width, ti, tj),
+            lambda c: _rays_from_cam(c, height, width, ti, tj, tile),
         )
 
     _, vjp_fn = jax.vjp(reattach, values, cam)
@@ -486,9 +489,10 @@ def _smem():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _vtile(ch):
+def _vtile(ch, tile):
+    th, tw = tile
     return pl.BlockSpec(
-        (ch, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        (ch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
     )
 
 
@@ -506,23 +510,27 @@ def make_fwd_call(structure, height, width, cfg, interpret=False,
     call renders; `full_height` (default: height) is the whole image's
     height for NDC mapping — row-sharded callers pass their shard height
     plus the global height, with the shard's first row in cam[15]."""
+    from loltracer_tpu.render.pallas_scene import resolve_tile
+
     fields = active_fields(structure)
     n_res = num_residuals(structure)
-    gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
-    ph, pw = gh * TILE_H, gw * TILE_W
+    tile = resolve_tile(cfg, interpret, height, structure.num_lights)
+    th, tw = tile
+    gh, gw = cdiv(height, th), cdiv(width, tw)
+    ph, pw = gh * th, gw * tw
     if with_residuals:
-        out_specs = (_vtile(3), _vtile(n_res))
+        out_specs = (_vtile(3, tile), _vtile(n_res, tile))
         out_shape = (
             jax.ShapeDtypeStruct((3, ph, pw), jnp.float32),
             jax.ShapeDtypeStruct((n_res, ph, pw), jnp.float32),
         )
     else:
-        out_specs = _vtile(3)
+        out_specs = _vtile(3, tile)
         out_shape = jax.ShapeDtypeStruct((3, ph, pw), jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _train_fwd_kernel, structure, cfg, full_height or height, width,
-            fields, with_residuals,
+            fields, with_residuals, tile,
         ),
         grid=(gh, gw),
         in_specs=[_smem()] + [_smem() for _ in fields],
@@ -538,20 +546,21 @@ def make_bwd_call(structure, height, width, cfg, interpret=False,
     """The fused backward pallas_call: (cam, *fields, residuals [R, ph, pw],
     cotangent [3, ph, pw]) -> (dcam [16], *dfields), with the parameter
     gradients accumulated across the sequential grid."""
-    from loltracer_tpu.render.pallas_scene import field_shape
+    from loltracer_tpu.render.pallas_scene import field_shape, resolve_tile
 
     fields = active_fields(structure)
     n_res = num_residuals(structure)
-    gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
+    tile = resolve_tile(cfg, interpret, height, structure.num_lights)
+    gh, gw = cdiv(height, tile[0]), cdiv(width, tile[1])
     grad_shapes = [field_shape(structure, f) for f in fields]
     return pl.pallas_call(
         functools.partial(
             _train_bwd_kernel, structure, cfg, full_height or height, width,
-            fields,
+            fields, tile,
         ),
         grid=(gh, gw),
         in_specs=[_smem()] + [_smem() for _ in fields]
-        + [_vtile(n_res), _vtile(3)],
+        + [_vtile(n_res, tile), _vtile(3, tile)],
         out_specs=tuple([_smem()] + [_smem() for _ in fields]),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((CAM_SIZE,), jnp.float32)]
@@ -589,9 +598,12 @@ def make_training_renderer(
             "fused training kernels implement the envelope shadow estimator; "
             f"got shadow_grad={cfg.shadow_grad!r}"
         )
+    from loltracer_tpu.render.pallas_scene import resolve_tile
+
     fields = active_fields(structure)
-    gh, gw = cdiv(height, TILE_H), cdiv(width, TILE_W)
-    ph, pw = gh * TILE_H, gw * TILE_W
+    th, tw = resolve_tile(cfg, interpret, height, structure.num_lights)
+    gh, gw = cdiv(height, th), cdiv(width, tw)
+    ph, pw = gh * th, gw * tw
     fh = full_height or height
     fwd_call = make_fwd_call(structure, height, width, cfg, interpret, fh)
     bwd_call = make_bwd_call(structure, height, width, cfg, interpret, fh)
@@ -811,9 +823,19 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
         soy = py + ldy * cfg.shadow_offset
         soz = pz + ldz * cfg.shadow_offset
 
+        # segment cull: provably-lit lanes start the march pre-done (and a
+        # fully lit patch skips it outright) — value-exact, see config.py
+        # shadow_cull / pallas_scene.segment_lit
+        shadow_clamp = cfg.effective_shadow_clamp()
+        lit = None
+        if cfg.shadow_cull:
+            lit = inst.segment_lit(
+                (sox, soy, soz), (ldx, ldy, ldz), light_dist, shadow_clamp,
+                cfg.shadow_w,
+            )
         res, t_star = shadow_loop(
             inst, cfg, (sox, soy, soz), (ldx, ldy, ldz), light_dist,
-            step_clamp=clamp,
+            step_clamp=shadow_clamp, init_done=lit,
         )
         shadow_res.append(res)
         shadow_tstar.append(t_star)
@@ -1123,7 +1145,7 @@ def _instanced_bwd_kernel(structure, cfg, height, width, gpw, fields,
                 ref[i] += v[i]
 
     # 3. SCATTER sphere-pack gradients, call site by call site
-    win = 128
+    from loltracer_tpu.render.pallas_scene import INSTANCED_LANES as win
     for rec, draw in zip(records, draws):
         px, py, pz = rec["px"], rec["py"], rec["pz"]
         wstar, rowstar = rec["wstar"], rec["rowstar"]
@@ -1248,8 +1270,10 @@ def make_instanced_training_renderer(
         )
     fields = instanced_small_fields(structure)
     gph, gpw = cdiv(height, P_H), cdiv(width, P_W)
+    from loltracer_tpu.render.pallas_scene import INSTANCED_LANES
+
     ns = structure.num_spheres
-    ns_pad = max(128, cdiv(ns, 128) * 128)
+    ns_pad = max(INSTANCED_LANES, cdiv(ns, INSTANCED_LANES) * INSTANCED_LANES)
     fh = full_height or height
     fwd_call = make_instanced_fwd_call(
         structure, gph * P_H, gpw * P_W, cfg, interpret=interpret,

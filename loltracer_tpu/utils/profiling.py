@@ -90,18 +90,27 @@ def march_step_stats(
     (8, 128) tiling — mean tile max over mean step count measures how much
     a tile's worst ray makes its converged lanes wait."""
     steps = march_step_counts(structure, params, height, width, cfg)
-    th, tw = tile
-    hh = height - height % th
-    ww = width - width % tw
-    tiles = steps[:hh, :ww].reshape(hh // th, th, ww // tw, tw)
-    tile_max = tiles.max(axis=(1, 3))
+
+    def waste(th, tw):
+        hh = height - height % th
+        ww = width - width % tw
+        if not hh or not ww:
+            return float("nan")
+        tiles = steps[:hh, :ww].reshape(hh // th, th, ww // tw, tw)
+        return float(tiles.max(axis=(1, 3)).mean())
+
     mean = float(steps.mean())
+    th, tw = tile
     return {
         "mean_steps": mean,
         "p50_steps": float(np.percentile(steps, 50)),
         "p99_steps": float(np.percentile(steps, 99)),
         "max_steps": float(steps.max()),
-        "tile_waste": float(tile_max.mean() / max(mean, 1e-9)),
+        "tile_waste": float(waste(th, tw) / max(mean, 1e-9)),
+        # the hardware tile since r4 (pallas_scene.resolve_tile): bigger
+        # tiles pay MORE worst-lane masking yet measure faster — the
+        # scalar loop-control cost per tile-iteration dominates (PERF.md)
+        "tile_waste_64x128": float(waste(64, 128) / max(mean, 1e-9)),
     }
 
 

@@ -96,14 +96,17 @@ def roofline_estimate(
     is the measured wall time of one forward (mode="fwd") or one
     forward+backward (mode="fwdbwd") at this size.
     """
+    from loltracer_tpu.render.pallas_scene import resolve_tile
     from loltracer_tpu.utils.profiling import march_step_counts
 
     eval_cost = sdf_eval_cost(structure)
-    lanes_per_tile = 8 * 128
+    tile = resolve_tile(cfg, False, height, structure.num_lights)
+    lanes_per_tile = tile[0] * tile[1]
 
-    # march: each (8,128) tile pays its worst lane's step count
+    # march: each tile pays its worst lane's step count (the hardware tile
+    # shape from resolve_tile — 64x128 by default since r4)
     steps = march_step_counts(structure, params, height, width, cfg)
-    march_evals = float(_tile_max(steps).sum()) * lanes_per_tile
+    march_evals = float(_tile_max(steps, tile).sum()) * lanes_per_tile
 
     # shadows: bounded by shadow_steps per light; approximate the tile-max
     # distribution with the march's shape scaled to the shadow cap (the
@@ -111,7 +114,7 @@ def roofline_estimate(
     shadow_cap = min(cfg.shadow_steps, cfg.max_steps)
     shadow_evals = (
         structure.num_lights
-        * float(np.minimum(_tile_max(steps), shadow_cap).sum())
+        * float(np.minimum(_tile_max(steps, tile), shadow_cap).sum())
         * lanes_per_tile
     )
 

@@ -27,8 +27,11 @@ def scene():
         RenderConfig(step_clamp=2.0),
         RenderConfig(step_clamp=2.0, antialias=True),
         RenderConfig(step_clamp=2.0, shadow_grad="envelope"),
+        RenderConfig(step_clamp=2.0, shadow_step_clamp=8.0),
+        RenderConfig(step_clamp=2.0, shadow_cull=False),
     ],
-    ids=["exact", "clamp", "clamp-aa", "clamp-envelope"],
+    ids=["exact", "clamp", "clamp-aa", "clamp-envelope", "shadow-clamp",
+         "no-cull"],
 )
 def test_instanced_fused_matches_jnp(scene, cfg):
     ref = np.asarray(
