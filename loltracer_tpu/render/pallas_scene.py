@@ -623,6 +623,93 @@ class InstancedScene:
             lit = lit & (a >= 0.0) & (shadow_w * (a + ldy * T) > T)
         return jnp.where(lit, 1.0, 0.0)
 
+    def _segment_block_dist(self, so, ld, seg_len, ref):
+        """(nrows, COL) lower-bound-ready segment-to-center distances for
+        the row table `ref` (mu_ref or blk_ref layout): |seg(t) - ctr|
+        minimized over t in [0, seg_len], via the two-MXU-pass expansion
+        (see segment_lit)."""
+        sox, soy, soz = so
+        ldx, ldy, ldz = ld
+        pm, o2 = self._pm(sox, soy, soz)
+        c2 = jax.lax.dot_general(
+            ref[...], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
+        ) + ref[:, 5:6] + o2
+        z = czero(ldx)
+        rhs_l = jnp.concatenate([ldx, ldy, ldz, z, z, z, z, z], axis=0)
+        cl = jax.lax.dot_general(
+            ref[...], rhs_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_BOUND_PRECISION,
+        )
+        ol = sox * ldx + soy * ldy + soz * ldz
+        proj = cl - ol
+        tcl = jnp.clip(proj, 0.0, seg_len)
+        return jnp.sqrt(jnp.maximum(c2 - tcl * (2.0 * proj - tcl), 0.0))
+
+    def gather_segment_blocks(self, so, ld, seg_len, clamp, scratch_ref,
+                              cap):
+        """Fill `scratch_ref` ([cap, 8] VMEM, spheres_t row layout) with
+        every micro-block whose bound ball intersects the patch's swept
+        shadow region within the step clamp: block m is gathered iff
+
+            min_lane |seg_lane - mctr_m| <= clamp + R_m + BOUND_MARGIN
+
+        — a superset of every sphere with d_sph(p) < clamp for any sampled
+        p, which under the clamp is the complete set of spheres that can
+        affect min(d_sph, cut) (config.py shadow_scratch). Returns
+        (n_rows, overflow): n_rows the filled row count; overflow > 0.5
+        means the flagged blocks exceed `cap` and the caller must use the
+        full traversal. Rows beyond n_rows are sentinel-filled (radius
+        -1e30, |c|^2 0) so whole-chunk evaluation never picks them."""
+        from jax import lax
+
+        g = INSTANCED_GROUP
+        dseg = self._segment_block_dist(so, ld, seg_len, self.mu_ref)
+        mR = self.mu_ref[:, 3:4]
+        flags = jnp.min(
+            jnp.where(
+                dseg <= jnp.float32(clamp) + mR + BOUND_MARGIN, 0.0, 1.0
+            ),
+            axis=1, keepdims=True,
+        )  # (nmu, 1): 0.0 = gather this block
+        flagged = jnp.where(flags < 0.5, 1.0, 0.0)
+        n_blocks = jnp.sum(flagged).astype(jnp.int32)
+        overflow = jnp.where(n_blocks * g > cap, 1.0, 0.0)
+
+        # sentinel prefill (vector stores over the whole scratch; iota
+        # select, not .at[].set — scatter has no Mosaic lowering)
+        cols = lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+        sent = jnp.where(cols == 3, jnp.float32(-1e30), jnp.float32(0.0))
+        for i in range(cap // 8):
+            scratch_ref[pl.ds(i * 8, 8), :] = sent
+
+        sub = lax.broadcasted_iota(jnp.int32, flagged.shape, 0)
+
+        def cond(c):
+            m_f, _ = c
+            return jnp.max(m_f) > 0.5
+
+        def body(c):
+            m_f, off = c
+            m = jnp.min(jnp.where(m_f > 0.5, sub, self.nmu_pad))
+            scratch_ref[pl.ds(off, g), :] = self.sphere_ref[
+                pl.ds(m * g, g), :
+            ]
+            m_f = jnp.where(sub == m, 0.0, m_f)
+            return m_f, off + g
+
+        def do_gather(_):
+            _, off = lax.while_loop(cond, body, (flagged, jnp.int32(0)))
+            return off
+
+        n_rows = lax.cond(
+            overflow > 0.5, lambda _: jnp.int32(0), do_gather, 0
+        )
+        return n_rows, overflow
+
+
     def sdf_track(self, px, py, pz, active=None, step_clamp=None):
         """Winner-tracking traversal: same eligibility/window structure as
         dist_only, additionally tracking per ray the winning SPHERE's
@@ -715,6 +802,46 @@ class InstancedScene:
             (mask0, zc + jnp.inf, zc, zc, zc, zc, zc - 1.0, zc - 1.0),
         )
         return raw, mat, nx, ny, nz, wstar, rowstar
+
+
+class ScratchScene:
+    """Scene evaluation against a gathered scratch sphere table
+    (InstancedScene.gather_segment_blocks): min over the table's rows in
+    256-row chunks — no eligibility pass, no pick loop — composed with
+    the same per-ray step cut and plane merge as InstancedScene.dist_only
+    so values are bitwise identical wherever the gather's coverage
+    guarantee holds (everywhere, under the clamp)."""
+
+    CHUNK = 256
+
+    def __init__(self, inst: "InstancedScene", scratch_ref, n_rows):
+        self._inst = inst
+        self._scratch = scratch_ref
+        # chunk count rounded up; sentinel rows never win
+        self._nchunks = (n_rows + self.CHUNK - 1) // self.CHUNK
+
+    def dist_only(self, px, py, pz, active=None, step_clamp=None):
+        from jax import lax
+
+        sref = self._scratch
+
+        def chunk(i, dmin):
+            tw = sref[pl.ds(i * self.CHUNK, self.CHUNK), :]
+            dx = px - tw[:, 0:1]
+            dy = py - tw[:, 1:2]
+            dz = pz - tw[:, 2:3]
+            d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - tw[:, 3:4]
+            return jnp.minimum(dmin, jnp.min(d, axis=0, keepdims=True))
+
+        dmin = lax.fori_loop(
+            0, self._nchunks, chunk, czero(px) + jnp.inf
+        )
+        cut = self._inst._cut(px, py, pz, step_clamp)
+        if cut is not None:
+            dmin = jnp.minimum(dmin, cut)
+        for y in self._inst.plane_vals:
+            dmin = jnp.minimum(dmin, py - y)
+        return dmin
 
 
 class ScalarScene:

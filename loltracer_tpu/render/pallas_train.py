@@ -731,13 +731,18 @@ def _compose_track(structure, values, cut, raw, matf, nx, ny, nz, py):
 
 
 def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
-                          with_residuals, cam_ref, sph_ref, mu_ref, blk_ref,
-                          bbox_ref, *refs):
+                          with_residuals, use_scratch, cam_ref, sph_ref,
+                          mu_ref, blk_ref, bbox_ref, *refs):
     param_refs = dict(zip(fields, refs[: len(fields)]))
+    outs = refs[len(fields):]
+    scratch_ref = None
+    if use_scratch:
+        scratch_ref = outs[-1]
+        outs = outs[:-1]
     if with_residuals:
-        img_ref, res_ref = refs[len(fields):]
+        img_ref, res_ref = outs
     else:
-        (img_ref,) = refs[len(fields):]
+        (img_ref,) = outs
     values = read_param_values(structure, param_refs)
     cam = tuple(cam_ref[i] for i in range(CAM_SIZE))
     clamp = cfg.step_clamp
@@ -758,10 +763,38 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
     inf = zeros + jnp.inf
 
-    # --- march: the shared loop body over the windowed traversal ---------
-    t, t_query, _, t_close = march_loop(
-        inst, cfg, ro, rd, track_aa=cfg.antialias, step_clamp=clamp
-    )
+    # --- march: the shared loop body over the windowed traversal, or over
+    # a per-patch scratch gather of the frustum-relevant spheres (the same
+    # clamp-completeness argument as the shadow gather, config.py
+    # shadow_scratch; overflow falls back to the full traversal) ---------
+    if scratch_ref is not None and clamp is not None:
+        zl = czero(rdx)
+        ro_pl = (ro_x + zl, ro_y + zl, ro_z + zl)
+        n_rows_p, over_p = inst.gather_segment_blocks(
+            ro_pl, rd, jnp.float32(cfg.max_dist), clamp, scratch_ref,
+            cfg.shadow_scratch,
+        )
+        from loltracer_tpu.render.pallas_scene import ScratchScene
+
+        def scratch_march(_):
+            scn_p = ScratchScene(inst, scratch_ref, n_rows_p)
+            return march_loop(
+                scn_p, cfg, ro, rd, track_aa=cfg.antialias,
+                step_clamp=clamp,
+            )
+
+        def full_march_p(_):
+            return march_loop(
+                inst, cfg, ro, rd, track_aa=cfg.antialias, step_clamp=clamp
+            )
+
+        t, t_query, _, t_close = lax.cond(
+            over_p > 0.5, full_march_p, scratch_march, 0
+        )
+    else:
+        t, t_query, _, t_close = march_loop(
+            inst, cfg, ro, rd, track_aa=cfg.antialias, step_clamp=clamp
+        )
     hit = t < cfg.max_dist
 
     # shading distance + material id via ONE winner-tracking traversal
@@ -833,10 +866,40 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
                 (sox, soy, soz), (ldx, ldy, ldz), light_dist, shadow_clamp,
                 cfg.shadow_w,
             )
-        res, t_star = shadow_loop(
-            inst, cfg, (sox, soy, soz), (ldx, ldy, ldz), light_dist,
-            step_clamp=shadow_clamp, init_done=lit,
-        )
+        so = (sox, soy, soz)
+        ld = (ldx, ldy, ldz)
+        if scratch_ref is not None:
+            # scratch gather: the complete under-clamp-relevant sphere set
+            # for this patch's shadow segment, marched without the per-step
+            # pick loop (config.py shadow_scratch); overflow falls back
+            from loltracer_tpu.render.pallas_scene import ScratchScene
+
+            cap = cfg.shadow_scratch
+            n_rows, overflow = inst.gather_segment_blocks(
+                so, ld, light_dist, shadow_clamp, scratch_ref, cap
+            )
+
+            def scratch_march(_):
+                scn_s = ScratchScene(inst, scratch_ref, n_rows)
+                return shadow_loop(
+                    scn_s, cfg, so, ld, light_dist,
+                    step_clamp=shadow_clamp, init_done=lit,
+                )
+
+            def full_march(_):
+                return shadow_loop(
+                    inst, cfg, so, ld, light_dist,
+                    step_clamp=shadow_clamp, init_done=lit,
+                )
+
+            res, t_star = lax.cond(
+                overflow > 0.5, full_march, scratch_march, 0
+            )
+        else:
+            res, t_star = shadow_loop(
+                inst, cfg, so, ld, light_dist,
+                step_clamp=shadow_clamp, init_done=lit,
+            )
         shadow_res.append(res)
         shadow_tstar.append(t_star)
 
@@ -870,6 +933,23 @@ def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
     gph, gpw = cdiv(height, P_H), cdiv(width, P_W)
     nt = gph * gpw
     n_res = num_residuals(structure)
+    # per-patch scratch gathers (config.py shadow_scratch): only
+    # meaningful when a step clamp bounds the relevant sphere set (primary
+    # march: step_clamp; shadow marches: the effective shadow clamp)
+    use_scratch = bool(
+        cfg.shadow_scratch
+        and (cfg.step_clamp is not None
+             or cfg.effective_shadow_clamp() is not None)
+    )
+    if use_scratch and cfg.shadow_scratch % 256:
+        raise ValueError(
+            "cfg.shadow_scratch must be a multiple of 256 (the scratch "
+            f"eval chunk, pallas_scene.ScratchScene); got {cfg.shadow_scratch}"
+        )
+    scratch_shapes = (
+        [pltpu.VMEM((cfg.shadow_scratch, 8), jnp.float32)]
+        if use_scratch else []
+    )
 
     def _row(ch):
         return pl.BlockSpec(
@@ -888,7 +968,7 @@ def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
     return pl.pallas_call(
         functools.partial(
             _instanced_fwd_kernel, structure, cfg, full_height or height,
-            width, gpw, fields, with_residuals,
+            width, gpw, fields, with_residuals, use_scratch,
         ),
         grid=(nt,),
         in_specs=[_smem()]
@@ -897,6 +977,7 @@ def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
         + [_smem() for _ in fields],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
         name="lol_instanced_fwd" if with_residuals else "lol_instanced_render",
     )

@@ -29,9 +29,13 @@ def scene():
         RenderConfig(step_clamp=2.0, shadow_grad="envelope"),
         RenderConfig(step_clamp=2.0, shadow_step_clamp=8.0),
         RenderConfig(step_clamp=2.0, shadow_cull=False),
+        # tiny scratch: most patches overflow -> exercises the
+        # full-traversal fallback branch of the lax.cond
+        RenderConfig(step_clamp=2.0, shadow_scratch=256),
+        RenderConfig(step_clamp=2.0, shadow_scratch=0),
     ],
     ids=["exact", "clamp", "clamp-aa", "clamp-envelope", "shadow-clamp",
-         "no-cull"],
+         "no-cull", "scratch-overflow", "scratch-off"],
 )
 def test_instanced_fused_matches_jnp(scene, cfg):
     ref = np.asarray(
