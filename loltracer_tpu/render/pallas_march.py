@@ -115,7 +115,14 @@ def _shadow_kernel(structure, cfg, fields, *refs):
     so = _planes(structure, ro_ref, 3)
     ld = _planes(structure, rd_ref, 3)
     (max_dist,) = _planes(structure, maxd_ref, 1)
-    res, t_star = shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=clamp)
+    # segment cull (value-exact; ScalarScene/InstancedScene.segment_lit):
+    # provably-lit lanes start pre-done, shortening the tile's worst lane
+    lit = None
+    if cfg.shadow_cull:
+        lit = scn.segment_lit(so, ld, max_dist, clamp, cfg.shadow_w)
+    res, t_star = shadow_loop(
+        scn, cfg, so, ld, max_dist, step_clamp=clamp, init_done=lit
+    )
     for i, v in enumerate((res, t_star)):
         if structure.instanced:
             out_ref[i:i + 1, :] = v

@@ -955,6 +955,69 @@ class ScalarScene:
             dist = jnp.minimum(dist, self.node_dist(node, px, py, pz))
         return dist
 
+    def _node_seg_bound(self, node, so, ld, T):
+        """Per-lane lower bound of min over t in [0, T] of d_node(so+t*ld).
+        None for plane nodes (the caller applies the monotone plane rule).
+        Spheres use the exact segment-to-point distance; boxes their
+        circumscribed sphere; smooth-min dips at most k/4 below min."""
+        sox, soy, soz = so
+        ldx, ldy, ldz = ld
+        kind = node[0]
+        if kind == "plane":
+            return None
+
+        def segdist(cx, cy, cz):
+            dx, dy, dz = cx - sox, cy - soy, cz - soz
+            proj = dx * ldx + dy * ldy + dz * ldz
+            tcl = jnp.clip(proj, 0.0, T)
+            ex = dx - tcl * ldx
+            ey = dy - tcl * ldy
+            ez = dz - tcl * ldz
+            return jnp.sqrt(ex * ex + ey * ey + ez * ez)
+
+        if kind == "sphere":
+            cx, cy, cz, r = self.sphere[node[1]]
+            return segdist(cx, cy, cz) - r
+        if kind == "box":
+            cx, cy, cz, bx, by, bz, r = self.box[node[1]]
+            hb = jnp.sqrt(bx * bx + by * by + bz * bz)
+            return segdist(cx, cy, cz) - hb - r
+        if kind == "smin":
+            _, k, a, b = node
+            ba = self._node_seg_bound(a, so, ld, T)
+            bb = self._node_seg_bound(b, so, ld, T)
+            if ba is None or bb is None:
+                return None  # smin over a plane: give up, never cull
+            return jnp.minimum(ba, bb) - self.smooth_k[k] / 4.0
+        raise ValueError(node)
+
+    def segment_lit(self, so, ld, seg_len, step_clamp, shadow_w):
+        """Per-lane flags: 1.0 where the shadow ray is PROVABLY fully lit
+        (every sampled val = w*d/t stays > 1 for t in (0, T]) — the
+        compiled-scene analog of InstancedScene.segment_lit (same skip
+        semantics via shadow_loop init_done; `step_clamp` ignored —
+        compiled scenes never clamp). Per object: distance-like objects
+        need w * (segment lower bound) > T; planes use the monotone rule
+        min_t w*(a + b*t)/t = w*(a/T + b) with a >= 0. BOUND_MARGIN
+        absorbs the f32 rounding of these short chains."""
+        del step_clamp
+        sox, soy, soz = so
+        ldy = ld[1]
+        T = seg_len
+        lit = jnp.ones_like(sox) > 0.0
+        for node in self.structure.objects:
+            bound = self._node_seg_bound(node, so, ld, T)
+            if bound is None:
+                if node[0] != "plane":
+                    return jnp.zeros_like(sox)  # smin-over-plane: no cull
+                a = soy - self.plane[node[1]]
+                lit = lit & (a >= BOUND_MARGIN) & (
+                    shadow_w * (a + ldy * T) > T + shadow_w * BOUND_MARGIN
+                )
+            else:
+                lit = lit & (shadow_w * (bound - BOUND_MARGIN) > T)
+        return jnp.where(lit, 1.0, 0.0)
+
 
 def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
     """THE sphere-trace march loop body (naive_renderer.c:46-69 semantics,

@@ -393,8 +393,20 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
         soy = py + ldy * cfg.shadow_offset
         soz = pz + ldz * cfg.shadow_offset
 
+        # per-object segment cull: provably-lit lanes start pre-done
+        # (bitwise res = 1.0 / t* = 0 — exactly what the march would
+        # produce); lit lanes are the LONGEST shadow marches (they walk
+        # all the way to the light; occluded lanes early-out at res < -1),
+        # so pre-marking them shortens the tile's worst lane directly
+        lit = None
+        if cfg.shadow_cull:
+            lit = scn.segment_lit(
+                (sox, soy, soz), (ldx, ldy, ldz), light_dist, None,
+                cfg.shadow_w,
+            )
         res, t_star = shadow_loop(
-            scn, cfg, (sox, soy, soz), (ldx, ldy, ldz), light_dist
+            scn, cfg, (sox, soy, soz), (ldx, ldy, ldz), light_dist,
+            init_done=lit,
         )
         shadow_res.append(res)
         shadow_tstar.append(t_star)
