@@ -678,14 +678,11 @@ class InstancedScene:
         n_blocks = jnp.sum(flagged).astype(jnp.int32)
         overflow = jnp.where(n_blocks * g > cap, 1.0, 0.0)
 
-        # sentinel prefill (vector stores over the whole scratch; iota
-        # select, not .at[].set — scatter has no Mosaic lowering)
-        cols = lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-        sent = jnp.where(cols == 3, jnp.float32(-1e30), jnp.float32(0.0))
-        for i in range(cap // 8):
-            scratch_ref[pl.ds(i * 8, 8), :] = sent
-
         sub = lax.broadcasted_iota(jnp.int32, flagged.shape, 0)
+        # sentinel tile for the tail pad (iota select, not .at[].set —
+        # scatter has no Mosaic lowering)
+        cols = lax.broadcasted_iota(jnp.int32, (g, 8), 1)
+        sent = jnp.where(cols == 3, jnp.float32(-1e30), jnp.float32(0.0))
 
         def cond(c):
             m_f, _ = c
@@ -702,6 +699,22 @@ class InstancedScene:
 
         def do_gather(_):
             _, off = lax.while_loop(cond, body, (flagged, jnp.int32(0)))
+            # sentinel-pad only up to the next CHUNK boundary (the rows a
+            # whole-chunk evaluation can see past n_rows) — a handful of
+            # g-row stores instead of prefilling the whole scratch (the
+            # full prefill was ~1k serial stores per gather, measured ~10%
+            # of the instanced frame)
+            chunk = ScratchScene.CHUNK
+            end = ((off + chunk - 1) // chunk) * chunk
+
+            def pad_cond(c):
+                return c < end
+
+            def pad_body(c):
+                scratch_ref[pl.ds(c, g), :] = sent
+                return c + g
+
+            lax.while_loop(pad_cond, pad_body, off)
             return off
 
         n_rows = lax.cond(
