@@ -230,26 +230,42 @@ def cmd_roofline(args):
     cfg = _build_cfg(args)
     scene = _load_scene(args.scene)
 
+    import jax
+    import jax.numpy as jnp
+
+    from loltracer_tpu.render.backend import resolve_march_backend
+
+    interp = resolve_march_backend("auto") != "pallas"
     if args.mode == "fwdbwd":
-        import jax
-        import jax.numpy as jnp
-
-        from loltracer_tpu.render.pallas_train import make_training_renderer
-
         cfg = cfg.replace(shadow_grad="envelope")
-        r = make_training_renderer(scene.structure, h, w, cfg)
+        if scene.structure.instanced:
+            from loltracer_tpu.render.pallas_train import (
+                make_instanced_training_renderer as _mk,
+            )
+        else:
+            from loltracer_tpu.render.pallas_train import (
+                make_training_renderer as _mk,
+            )
+        r = _mk(scene.structure, h, w, cfg, interpret=interp)
 
         def loss(p):
             return jnp.mean(r(p) ** 2)
 
         fn = jax.jit(jax.value_and_grad(loss))
     else:
-        import jax
-        import jax.numpy as jnp
+        if scene.structure.instanced:
+            from loltracer_tpu.render.pallas_train import (
+                make_instanced_renderer as _mkr,
+            )
 
-        from loltracer_tpu.render.pallas_renderer import make_pallas_renderer
+            r = _mkr(scene.structure, h, w, cfg, interpret=interp)
+        else:
+            from loltracer_tpu.render.pallas_renderer import (
+                make_pallas_renderer,
+            )
 
-        r = make_pallas_renderer(scene.structure, h, w, cfg)
+            r = make_pallas_renderer(scene.structure, h, w, cfg,
+                                     interpret=interp)
         fn = jax.jit(lambda p: jnp.sum(r(p)))
 
     def fetch(out):
