@@ -219,6 +219,36 @@ def test_sharded_instanced_fused_matches_single(n_dev):
     assert np.abs(np.asarray(g_sh.sphere_point)).max() > 0
 
 
+def test_sharded_instanced_fused_2d_mesh():
+    """The instanced fused tier also row-shards over a 2-D (hosts, chips)
+    mesh (rows split across BOTH axes, hosts major) — the multi-host
+    layout BASELINE config 5 names."""
+    from jax.sharding import Mesh
+
+    from loltracer_tpu.config import RenderConfig
+    from loltracer_tpu.render.pallas_train import (
+        make_instanced_training_renderer,
+    )
+    from loltracer_tpu.scenes import instanced_spheres
+
+    scene = instanced_spheres(n=150, seed=8)
+    Hs, Ws = 64, 32  # 4 shards x 16 rows
+    cfg = RenderConfig(
+        shadow_grad="envelope", march_backend="jnp", step_clamp=2.0
+    )
+    devs = np.asarray(jax.devices("cpu")[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("hosts", "chips"))
+    sharded = make_sharded_renderer(
+        scene.structure, mesh, Hs, Ws, cfg, fused="interpret"
+    )
+    single = make_instanced_training_renderer(
+        scene.structure, Hs, Ws, cfg, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded(scene.params)), np.asarray(single(scene.params))
+    )
+
+
 def test_sharded_instanced_jnp_fallback_is_banded(monkeypatch):
     """The sharded jnp fallback for instanced scenes renders in row bands
     (r3 verdict missing #2): band boundaries must not change values, and
