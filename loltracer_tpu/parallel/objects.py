@@ -259,15 +259,32 @@ def make_object_sharded_renderer(
 
     def render_shard(params: SceneParams, rows):
         sdf, sdf_id = _sharded_sdfs(structure_local, cfg, None, obj_axis)
+        # shadow marches under their own clamp need their own pmin SDF —
+        # the unsharded oracle builds a second scene SDF at the effective
+        # shadow clamp, so the sharded path must too (ADVICE r4)
+        shadow_sdf = None
+        sclamp = cfg.effective_shadow_clamp()
+        shadow_cfg = cfg.replace(
+            step_clamp=sclamp, shadow_step_clamp=None
+        )
+        if sclamp != cfg.step_clamp:
+            shadow_sdf, _ = _sharded_sdfs(
+                structure_local, shadow_cfg, None, obj_axis
+            )
         if use_pallas:
             sdf = _make_pallas_pmin_sdf(
                 structure_local, cfg, obj_axis, interpret, params, sdf
             )
+            if shadow_sdf is not None:
+                shadow_sdf = _make_pallas_pmin_sdf(
+                    structure_local, shadow_cfg, obj_axis, interpret,
+                    params, shadow_sdf,
+                )
         ro, rd = camera_rays_for_rows(params, rows, height, width, cfg)
         pr = pixel_radius(params, height, cfg) if cfg.antialias else None
         return render_rays(
             structure_global, params, ro, rd, cfg, pixel_rad=pr,
-            sdf=sdf, sdf_id=sdf_id,
+            sdf=sdf, sdf_id=sdf_id, shadow_sdf=shadow_sdf,
         )
 
     sharded = shard_map(

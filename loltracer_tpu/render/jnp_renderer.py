@@ -102,13 +102,15 @@ def render_rays(
     pixel_rad=None,
     sdf=None,
     sdf_id=None,
+    shadow_sdf=None,
 ) -> jnp.ndarray:
     """Render arbitrary ray batches: ro [3] or [..., 3], rd [..., 3] ->
     gamma-corrected RGB [..., 3]. With cfg.antialias and a pixel_rad
     (see pixel_radius), silhouettes get soft differentiable coverage.
-    `sdf`/`sdf_id` override the scene SDF (the object-sharded path injects
-    a pmin-combined SDF here, parallel/objects.py); overrides force the
-    jnp march (the Pallas kernels compile the structure's own SDF)."""
+    `sdf`/`sdf_id`/`shadow_sdf` override the scene SDF (the object-sharded
+    path injects pmin-combined SDFs here, parallel/objects.py); overrides
+    force the jnp march (the Pallas kernels compile the structure's own
+    SDF)."""
     clamp = cfg.step_clamp if structure.instanced else None
     override = sdf is not None
     if sdf is None:
@@ -116,13 +118,21 @@ def render_rays(
     if sdf_id is None:
         sdf_id = make_scene_sdf_with_id(structure, clamp)
     # shadow marches may run under their own (larger) step clamp
-    # (config.py shadow_step_clamp); with an sdf override (object-sharded
-    # path) shadows share the override unchanged
+    # (config.py shadow_step_clamp); an sdf override whose shadow clamp
+    # differs must supply its own shadow_sdf — silently reusing the
+    # primary-clamp override would diverge from the unsharded oracle
+    # (ADVICE r4; parallel/objects.py threads one)
     shadow_clamp = cfg.effective_shadow_clamp() if structure.instanced else None
-    if override or shadow_clamp == clamp:
-        shadow_sdf = sdf
-    else:
-        shadow_sdf = make_scene_sdf(structure, shadow_clamp)
+    if shadow_sdf is None:
+        if shadow_clamp == clamp:
+            shadow_sdf = sdf
+        elif override:
+            raise ValueError(
+                "shadow_step_clamp differs from step_clamp but the sdf "
+                "override supplies no shadow_sdf"
+            )
+        else:
+            shadow_sdf = make_scene_sdf(structure, shadow_clamp)
 
     use_aa = cfg.antialias and pixel_rad is not None
     march_fn = None if override else _select_march(structure, ro, rd, cfg)

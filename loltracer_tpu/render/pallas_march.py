@@ -146,7 +146,14 @@ import os as _os
 COL = int(_os.environ.get("LOL_COL", "512"))
 P_H = int(_os.environ.get("LOL_P_H", "16"))
 P_W = int(_os.environ.get("LOL_P_W", "32"))
-assert COL == P_H * P_W and COL % 128 == 0
+# explicit raises, not asserts (stripped under python -O; ADVICE r4):
+# every instanced kernel reshapes patches through these constants
+if COL != P_H * P_W:
+    raise ValueError(
+        f"LOL_COL ({COL}) must equal LOL_P_H * LOL_P_W ({P_H}*{P_W})"
+    )
+if COL % 128:
+    raise ValueError(f"LOL_COL ({COL}) must be a multiple of 128 lanes")
 
 
 def _to_columns(arr, gph, gpw):

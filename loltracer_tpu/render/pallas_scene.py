@@ -211,6 +211,29 @@ INSTANCED_LANES = int(_os.environ.get("LOL_INSTANCED_LANES", "256"))
 # groups); with the 256-sphere windows, 64 measured best on v5e (32: -2%,
 # 128: -13%, 16: -26%; r4 sweep in PERF.md). Env override = sweep hook.
 INSTANCED_GROUP = int(_os.environ.get("LOL_INSTANCED_GROUP", "64"))
+# Scratch-table evaluation chunk (ScratchScene.CHUNK aliases this).
+SCRATCH_CHUNK = 256
+# The LOL_* sweep knobs are validated with explicit raises (not asserts —
+# stripped under python -O): the traversal silently mis-windows when the
+# group does not tile the window, and gather_segment_blocks' sentinel pad
+# loop strides by INSTANCED_GROUP up to a SCRATCH_CHUNK boundary — a
+# non-dividing group would store past the chunk end, an out-of-bounds
+# VMEM write when the scratch is chunk-sized (ADVICE r4).
+if INSTANCED_LANES % INSTANCED_GROUP:
+    raise ValueError(
+        f"LOL_INSTANCED_LANES ({INSTANCED_LANES}) must be a multiple of "
+        f"LOL_INSTANCED_GROUP ({INSTANCED_GROUP})"
+    )
+if SCRATCH_CHUNK % INSTANCED_GROUP:
+    raise ValueError(
+        f"LOL_INSTANCED_GROUP ({INSTANCED_GROUP}) must divide the scratch "
+        f"chunk ({SCRATCH_CHUNK})"
+    )
+if INSTANCED_LANES % 8 or INSTANCED_GROUP % 8:
+    raise ValueError(
+        f"LOL_INSTANCED_LANES/GROUP ({INSTANCED_LANES}/{INSTANCED_GROUP}) "
+        "must be multiples of 8 (sublane-aligned window slices)"
+    )
 # Conservative slack added to micro-block/block bound radii: the bound
 # passes compute |p - ctr| via the MXU expansion |c|^2 - 2c.p + |p|^2,
 # whose f32 cancellation error at |c| ~ 2e2 is ~3e-2 — the margin keeps
@@ -616,11 +639,22 @@ class InstancedScene:
         d_lo = dseg - self.blk_ref[:, 3:4] - BOUND_MARGIN  # (nbk, COL)
         d_min = jnp.min(d_lo, axis=0, keepdims=True)  # (1, COL)
         if step_clamp is not None:
-            d_min = jnp.minimum(d_min, jnp.float32(step_clamp))
+            # the clamp branch carries no margin of its own (d_lo is
+            # margin-inflated, the raw clamp is not): subtract the same
+            # slack so a march val within f32 rounding of 1 — the march's
+            # w*d/t division and its differently-associated point updates
+            # both round — is never falsely pre-marked lit (ADVICE r4)
+            d_min = jnp.minimum(
+                d_min, jnp.float32(step_clamp) - BOUND_MARGIN
+            )
         lit = shadow_w * d_min > T
         for y in self.plane_vals:
+            # same slack as ScalarScene.segment_lit: (soy - y) + ldy*T
+            # associates differently from the march's (soy + t*ldy) - y
             a = soy - y
-            lit = lit & (a >= 0.0) & (shadow_w * (a + ldy * T) > T)
+            lit = lit & (a >= BOUND_MARGIN) & (
+                shadow_w * (a + ldy * T) > T + shadow_w * BOUND_MARGIN
+            )
         return jnp.where(lit, 1.0, 0.0)
 
     def _segment_block_dist(self, so, ld, seg_len, ref):
@@ -825,7 +859,7 @@ class ScratchScene:
     so values are bitwise identical wherever the gather's coverage
     guarantee holds (everywhere, under the clamp)."""
 
-    CHUNK = 256
+    CHUNK = SCRATCH_CHUNK
 
     def __init__(self, inst: "InstancedScene", scratch_ref, n_rows):
         self._inst = inst

@@ -92,25 +92,31 @@ def march_step_stats(
     steps = march_step_counts(structure, params, height, width, cfg)
 
     def waste(th, tw):
+        # None (json null) when the image is smaller than the tile —
+        # NaN would poison strict-JSON measurement artifacts (ADVICE r4)
         hh = height - height % th
         ww = width - width % tw
         if not hh or not ww:
-            return float("nan")
+            return None
         tiles = steps[:hh, :ww].reshape(hh // th, th, ww // tw, tw)
         return float(tiles.max(axis=(1, 3)).mean())
 
     mean = float(steps.mean())
     th, tw = tile
+
+    def ratio(w):
+        return None if w is None else float(w / max(mean, 1e-9))
+
     return {
         "mean_steps": mean,
         "p50_steps": float(np.percentile(steps, 50)),
         "p99_steps": float(np.percentile(steps, 99)),
         "max_steps": float(steps.max()),
-        "tile_waste": float(waste(th, tw) / max(mean, 1e-9)),
+        "tile_waste": ratio(waste(th, tw)),
         # the hardware tile since r4 (pallas_scene.resolve_tile): bigger
         # tiles pay MORE worst-lane masking yet measure faster — the
         # scalar loop-control cost per tile-iteration dominates (PERF.md)
-        "tile_waste_64x128": float(waste(64, 128) / max(mean, 1e-9)),
+        "tile_waste_64x128": ratio(waste(64, 128)),
     }
 
 

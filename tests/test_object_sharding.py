@@ -105,6 +105,62 @@ def test_object_sharded_pallas_plus_row_sharding(scene):
     np.testing.assert_allclose(img, ref, atol=2e-5)
 
 
+@pytest.mark.parametrize("backend", ["jnp", "pallas-interpret"])
+def test_object_sharded_respects_shadow_step_clamp(scene, backend):
+    """ADVICE r4: with a distinct shadow_step_clamp, the object-sharded
+    renderer must build a SECOND pmin SDF at the shadow clamp (the
+    unsharded oracle does) instead of silently reusing the primary-clamp
+    override for shadows."""
+    cfg = RenderConfig(
+        march_backend=backend, step_clamp=1.0, shadow_step_clamp=8.0
+    )
+    ref = np.asarray(
+        make_renderer(
+            scene.structure, H, W,
+            RenderConfig(
+                march_backend="jnp", step_clamp=1.0, shadow_step_clamp=8.0
+            ),
+        )(scene.params)
+    )
+    img = np.asarray(
+        make_object_sharded_renderer(
+            scene.structure, _obj_mesh(4), H, W, cfg
+        )(scene.params)
+    )
+    np.testing.assert_allclose(img, ref, atol=2e-5)
+    # the clamps genuinely diverge on this scene: sharing the primary
+    # clamp for shadows would NOT reproduce the oracle
+    shared = np.asarray(
+        make_renderer(
+            scene.structure, H, W,
+            RenderConfig(
+                march_backend="jnp", step_clamp=1.0, shadow_step_clamp=1.0
+            ),
+        )(scene.params)
+    )
+    assert np.abs(shared - ref).max() > 1e-4
+
+
+def test_render_rays_rejects_override_without_shadow_sdf(scene):
+    """render_rays must refuse an sdf override whose shadow clamp differs
+    when no shadow_sdf is supplied (the silent-divergence case)."""
+    import jax.numpy as jnp
+
+    from loltracer_tpu.render.camera import camera_rays
+    from loltracer_tpu.render.jnp_renderer import render_rays
+    from loltracer_tpu.render.sdf import make_scene_sdf
+
+    cfg = RenderConfig(
+        march_backend="jnp", step_clamp=1.0, shadow_step_clamp=8.0
+    )
+    ro, rd = camera_rays(scene.params, H, W, cfg)
+    sdf = make_scene_sdf(scene.structure, 1.0)
+    with pytest.raises(ValueError, match="shadow_sdf"):
+        render_rays(
+            scene.structure, scene.params, ro, rd, cfg, sdf=sdf
+        )
+
+
 def test_sharded_id_unclamped_argmin_where_cut_wins(scene):
     """ADVICE r3: when the step-clamp cut wins on EVERY shard, all shards
     tie at d == cut; the id must still be the global unclamped sphere
