@@ -72,12 +72,16 @@ def main():
     # BENCH_SHADOW_CULL=0 disables the (value-exact) shadow segment cull
     # for A/B measurement (config.py shadow_cull)
     shadow_cull = os.environ.get("BENCH_SHADOW_CULL", "1") == "1"
+    # BENCH_SCRATCH_WINDOW=0 disables the (value-exact) moving chunk
+    # window over the scratch table for A/B (config.py scratch_window)
+    scratch_window = os.environ.get("BENCH_SCRATCH_WINDOW", "1") == "1"
     cfg = RenderConfig(
         shadow_grad=shadow_grad,
         antialias=antialias,
         march_backend=march_backend,
         step_clamp=step_clamp if structure.instanced else None,
         shadow_cull=shadow_cull,
+        scratch_window=scratch_window,
     )
 
     # Default to the fused Pallas tier on TPU for BOTH modes (fwd: the fused
@@ -118,10 +122,21 @@ def main():
 
     if mode == "fwd" and backend == "pallas" and structure.instanced:
         # fused instanced forward: whole pipeline over the windowed
-        # traversal (render/pallas_train.make_instanced_renderer)
-        from loltracer_tpu.render.pallas_train import make_instanced_renderer
+        # traversal (render/pallas_train.make_instanced_renderer);
+        # BENCH_REGROUP=1 selects the shadow-ray 3-D regrouped pipeline
+        # (render/pallas_regroup.py) for A/B measurement
+        if os.environ.get("BENCH_REGROUP", "0") == "1":
+            from loltracer_tpu.render.pallas_regroup import (
+                make_instanced_renderer_regrouped as make_instanced_renderer,
+            )
 
-        backend = "pallas-fused-instanced"
+            backend = "pallas-instanced-regrouped"
+        else:
+            from loltracer_tpu.render.pallas_train import (
+                make_instanced_renderer,
+            )
+
+            backend = "pallas-fused-instanced"
         r = make_instanced_renderer(structure, height, width, cfg)
         fn = jax.jit(lambda p: jnp.sum(r(p)))
     elif mode == "fwd" and backend == "pallas":
@@ -169,6 +184,38 @@ def main():
 
         fn = jax.jit(both)
 
+    # Amortize the per-call tunnel latency: one fetch through the axon
+    # tunnel costs ~20-100 ms (and varies by the minute — PERF.md
+    # "weather"), which at ~25 ms of device time per 1080p frame was
+    # billing up to HALF the measured wall to the network. Chain K frames
+    # behind one fetch, with a value dependency through cam_fov (+0.0 *
+    # previous result) so XLA cannot CSE the repeated renders; wall =
+    # K * device + 1 fetch. K=1 restores the old protocol.
+    frames_env = os.environ.get("BENCH_FRAMES_PER_FETCH", "auto")
+    if frames_env == "auto":
+        # instanced frames run seconds each; amortization is pointless
+        frames = 1 if structure.instanced else 8
+    else:
+        frames = int(frames_env)
+
+    if frames > 1:
+        import dataclasses
+
+        import jax.numpy as _jnp
+
+        inner = fn
+
+        def chained(p):
+            acc = _jnp.float32(0.0)
+            for _ in range(frames):
+                q = dataclasses.replace(
+                    p, cam_fov=p.cam_fov + 0.0 * acc
+                )
+                acc = acc + inner(q)
+            return acc
+
+        fn = jax.jit(chained)
+
     def fetch(out):
         # force materialization on the host: through the axon TPU tunnel,
         # block_until_ready returns before execution finishes, so timing
@@ -185,10 +232,12 @@ def main():
         times.append(time.perf_counter() - t0)
 
     best = min(times)
-    rays = height * width
+    rays = height * width * frames
     rays_per_s = rays / best
 
     tags = ""
+    if frames > 1:
+        tags += f" frames_per_fetch={frames}"
     if mode == "fwdbwd":
         tags += f" shadow_grad={shadow_grad}"
     if antialias:

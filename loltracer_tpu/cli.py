@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -148,7 +149,11 @@ def cmd_render(args):
 def cmd_view(args):
     from loltracer_tpu.interactive import run_viewer
 
-    w, h = _parse_size(args.size)
+    # no --size: follow the live terminal size every frame (the
+    # reference's per-frame surface re-fetch, main.c:182)
+    w = h = None
+    if args.size:
+        w, h = _parse_size(args.size)
     run_viewer(_load_scene(args.scene), w, h, _build_cfg(args))
 
 
@@ -251,7 +256,17 @@ def cmd_roofline(args):
         def loss(p):
             return jnp.mean(r(p) ** 2)
 
-        fn = jax.jit(jax.value_and_grad(loss))
+        # ONE fused scalar, same protocol as bench.py: fetching the full
+        # gradient pytree bills ~20 ms of axon-tunnel round trip PER LEAF
+        # to the kernel (this exact mistake made the r4 roofline artifact
+        # disagree with the headline by 35%)
+        def both(p):
+            l, g = jax.value_and_grad(loss)(p)
+            return l + sum(
+                jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g)
+            )
+
+        fn = jax.jit(both)
     else:
         if scene.structure.instanced:
             from loltracer_tpu.render.pallas_train import (
@@ -283,7 +298,26 @@ def cmd_roofline(args):
     )
     est["measured_seconds"] = min(times)
     est["rays_per_s"] = h * w / min(times)
-    print(json.dumps({k: float(v) for k, v in est.items()}, indent=2))
+    print(json.dumps(
+        {k: (v if isinstance(v, str) else float(v)) for k, v in est.items()},
+        indent=2,
+    ))
+
+
+def cmd_peak(args):
+    """Measure the VPU ceiling with the synthetic FMA/sqrt kernels
+    (utils/peak.py) and write the artifact the roofline model divides by."""
+    from loltracer_tpu.render.backend import resolve_march_backend
+    from loltracer_tpu.utils.peak import PEAK_ARTIFACT, measure_vpu_peak
+
+    interp = resolve_march_backend("auto") != "pallas"
+    rec = measure_vpu_peak(interpret=interp, reps=args.reps)
+    rec["interpret"] = interp
+    out = args.out or PEAK_ARTIFACT
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps({k: v for k, v in rec.items() if k != "detail"}))
 
 
 def cmd_bench(args):
@@ -337,7 +371,7 @@ def main(argv=None):
     p = sub.add_parser("view", help="interactive terminal preview")
     p.add_argument("scene")
     _add_render_flags(p)
-    p.set_defaults(fn=cmd_view, size="96x72")
+    p.set_defaults(fn=cmd_view, size=None)
 
     p = sub.add_parser("info", help="parsed scene summary")
     p.add_argument("scene", nargs="?", default="-")
@@ -376,6 +410,15 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=3)
     _add_render_flags(p)
     p.set_defaults(fn=cmd_roofline, size="1920x1080")
+
+    p = sub.add_parser(
+        "peak",
+        help="measure the VPU ceiling (synthetic FMA/sqrt kernels) -> "
+        "artifacts/vpu_peak.json",
+    )
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_peak)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -107,6 +107,19 @@ class RenderConfig:
     # from overflow fallbacks).
     shadow_scratch: int = 8192
 
+    # Moving chunk window over the scratch table (r5): blocks are gathered
+    # in projection order along the row's mean ray and each march step
+    # evaluates only the 256-row chunks whose projection interval overlaps
+    # the live lanes' span +/- the clamp (pallas_scene.ScratchScene).
+    # Value-exact by the same clamp-completeness argument as the gather
+    # (projection is 1-Lipschitz, so the interval test is conservative
+    # for every lane). The diagnosis that motivated it: a shadow
+    # segment sweeps tens of units through the field, so the GATHERED set
+    # stays at 800-1900 rows (3-8 chunks) however coherent the rays are —
+    # but each individual step only ever needs the chunk(s) around the
+    # current points. Off exists for A/B measurement.
+    scratch_window: bool = True
+
     # Shadow-march segment culling (instanced Pallas tier): before each
     # per-light shadow march, a conservative segment-vs-block bound
     # (pallas_scene.InstancedScene.segment_lit) marks rays whose penumbra

@@ -52,6 +52,7 @@ from loltracer_tpu.render.pallas_scene import (
     march_loop,
     pack_instanced_spheres,
     read_param_values,
+    resolve_unroll,
     shadow_loop,
 )
 from loltracer_tpu.scene import SceneParams, SceneStructure
@@ -90,7 +91,7 @@ def _planes(structure, ref, n):
     return tuple(ref[i, :, :] for i in range(n))
 
 
-def _march_kernel(structure, cfg, fields, ro_ref, *rest):
+def _march_kernel(structure, cfg, fields, unroll, ro_ref, *rest):
     scn, n = _build_geom_scene(structure, fields, rest)
     rd_ref, out_ref = rest[n], rest[n + 1]
     clamp = cfg.step_clamp if structure.instanced else None
@@ -98,7 +99,7 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
     ro = (ro_ref[0], ro_ref[1], ro_ref[2])
     rd = _planes(structure, rd_ref, 3)
     t, t_query, s_min, t_close = march_loop(
-        scn, cfg, ro, rd, track_aa=True, step_clamp=clamp
+        scn, cfg, ro, rd, track_aa=True, step_clamp=clamp, unroll=unroll
     )
     for i, v in enumerate((t, t_query, s_min, t_close)):
         if structure.instanced:
@@ -107,7 +108,7 @@ def _march_kernel(structure, cfg, fields, ro_ref, *rest):
             out_ref[i, :, :] = v
 
 
-def _shadow_kernel(structure, cfg, fields, *refs):
+def _shadow_kernel(structure, cfg, fields, unroll, *refs):
     scn, n = _build_geom_scene(structure, fields, refs)
     ro_ref, rd_ref, maxd_ref, out_ref = refs[n: n + 4]
 
@@ -121,7 +122,8 @@ def _shadow_kernel(structure, cfg, fields, *refs):
     if cfg.shadow_cull:
         lit = scn.segment_lit(so, ld, max_dist, clamp, cfg.shadow_w)
     res, t_star = shadow_loop(
-        scn, cfg, so, ld, max_dist, step_clamp=clamp, init_done=lit
+        scn, cfg, so, ld, max_dist, step_clamp=clamp, init_done=lit,
+        unroll=unroll,
     )
     for i, v in enumerate((res, t_star)):
         if structure.instanced:
@@ -305,7 +307,13 @@ def make_pallas_shadow_march(
     terminate in a handful of steps). Value-only: the caller stop-gradients
     inputs and outputs. Supports compiled and instanced structures."""
     fields = active_fields(structure, GEOM_FIELDS)
-    kernel = functools.partial(_shadow_kernel, structure, cfg, fields)
+    # unroll only for compiled structures: an instanced dist_only is a whole
+    # windowed traversal, so wasted post-convergence sub-steps cost far more
+    # than the amortized loop control saves (see pallas_scene.resolve_unroll)
+    kernel = functools.partial(
+        _shadow_kernel, structure, cfg, fields,
+        1 if structure.instanced else resolve_unroll(interpret),
+    )
 
     def shadow_fn(params: SceneParams, ro, rd, max_dist):
         from loltracer_tpu.render.pallas_scene import resolve_tile
@@ -379,7 +387,10 @@ def make_pallas_march(
     treated as constants (stop-gradient applied by the caller); outputs carry
     no gradient. Supports compiled and instanced structures."""
     fields = active_fields(structure, GEOM_FIELDS)
-    kernel = functools.partial(_march_kernel, structure, cfg, fields)
+    kernel = functools.partial(
+        _march_kernel, structure, cfg, fields,
+        1 if structure.instanced else resolve_unroll(interpret),
+    )
 
     def march_fn(params: SceneParams, ro, rd) -> MarchResult:
         from loltracer_tpu.render.pallas_scene import resolve_tile

@@ -39,14 +39,17 @@ _HW_TILE_H = int(_os_tiles.environ.get("LOL_HW_TILE_H", "64"))
 
 def resolve_tile(cfg, interpret: bool, height: int = None,
                  num_lights: int = 2):
-    """The compiled-tier tile shape for this config/target: explicit
-    cfg.tile_h/tile_w win; else 64x128 on hardware, 8x128 under the
-    interpreter (keeps CPU equivalence tests fast — values are identical
-    across tile shapes, see config.py). The height dim caps at the padded
-    image/shard height so short row shards don't pad 8x, and halves per
-    pair of lights beyond two: the backward kernel's VMEM footprint grows
-    with the residual planes (4 + 2L) and sat at 14.8M of the 16M scoped
-    limit for scene4 (L=2) at 64x128 — 80x128 already OOMs (measured)."""
+    """The compiled-tier FORWARD tile shape for this config/target:
+    explicit cfg.tile_h/tile_w win; else 64x128 on hardware, 8x128 under
+    the interpreter (keeps CPU equivalence tests fast — values are
+    identical across tile shapes, see config.py). The height dim caps at
+    the padded image/shard height so short row shards don't pad 8x, and
+    halves per pair of lights beyond two (the forward kernel carries
+    2 live shadow planes per light). The BACKWARD kernel's tile is
+    resolved separately (resolve_bwd_tile): its vjp working set sat at
+    14.8M of the 16M scoped VMEM for scene4 (L=2) at 64x128 — 80x128
+    measured-OOMs — but it has no march loops, so it keeps a small tile
+    without capping the forward tile (r4 verdict item 2)."""
     th = cfg.tile_h
     if th is None:
         if interpret:
@@ -62,6 +65,50 @@ def resolve_tile(cfg, interpret: bool, height: int = None,
     if th % 8 or tw % 128:
         raise ValueError(f"tile ({th}, {tw}) must be (8k, 128k)")
     return th, tw
+
+
+def resolve_bwd_tile(cfg, interpret: bool, padded_height: int,
+                     num_lights: int = 2):
+    """The backward kernel's tile: the largest height <= the measured
+    64-row VMEM ceiling (halved per pair of lights beyond two) that
+    divides the forward call's padded image height exactly (the residual
+    and cotangent arrays are laid out by the forward grid). An explicit
+    cfg.tile_h wins when it divides the padded height — the sweep hook
+    stays honest."""
+    tw = cfg.tile_w if cfg.tile_w is not None else TILE_W
+    if cfg.tile_h is not None and padded_height % cfg.tile_h == 0:
+        return cfg.tile_h, tw  # explicit sweep override
+    cap = 64
+    nl = num_lights
+    while nl > 2 and cap > 8:
+        cap //= 2
+        nl -= 2
+    if interpret:
+        cap = min(cap, TILE_H)
+    th = 8
+    for cand in range(8, cap + 1, 8):
+        if padded_height % cand == 0:
+            th = cand
+    return th, tw
+
+
+# March/shadow loop unroll: SDF sub-steps per while_loop iteration (per
+# `min(done)` reduce + scalar branch). The r4 tile sweep proved the
+# compiled tier is bound by that serial per-iteration control cost, so
+# amortizing it over K sub-steps is the direct attack; done lanes freeze
+# per lane and an explicit step-cap term in the done flag keeps results
+# bitwise identical to K=1 for any max_steps (see march_loop). Extra cost
+# is up to K-1 wasted full-tile SDF evals after the worst lane converges.
+_HW_UNROLL = int(_os_tiles.environ.get("LOL_MARCH_UNROLL", "0")) or None
+
+
+def resolve_unroll(interpret: bool) -> int:
+    """Loop unroll factor: env LOL_MARCH_UNROLL wins; else 4 on hardware
+    (measured best in the r5 sweep — see PERF.md), 1 under the interpreter
+    (values are unroll-invariant; K>1 only slows CPU tests)."""
+    if _HW_UNROLL is not None:
+        return _HW_UNROLL
+    return 1 if interpret else 4
 
 # All scene-parameter fields a kernel may read from SMEM, in canonical order.
 PARAM_FIELDS = [
@@ -683,7 +730,7 @@ class InstancedScene:
         return jnp.sqrt(jnp.maximum(c2 - tcl * (2.0 * proj - tcl), 0.0))
 
     def gather_segment_blocks(self, so, ld, seg_len, clamp, scratch_ref,
-                              cap):
+                              cap, bounds_ref=None):
         """Fill `scratch_ref` ([cap, 8] VMEM, spheres_t row layout) with
         every micro-block whose bound ball intersects the patch's swept
         shadow region within the step clamp: block m is gathered iff
@@ -693,10 +740,18 @@ class InstancedScene:
         — a superset of every sphere with d_sph(p) < clamp for any sampled
         p, which under the clamp is the complete set of spheres that can
         affect min(d_sph, cut) (config.py shadow_scratch). Returns
-        (n_rows, overflow): n_rows the filled row count; overflow > 0.5
-        means the flagged blocks exceed `cap` and the caller must use the
-        full traversal. Rows beyond n_rows are sentinel-filled (radius
-        -1e30, |c|^2 0) so whole-chunk evaluation never picks them."""
+        (n_rows, overflow, ref): n_rows the filled row count; overflow >
+        0.5 means the flagged blocks exceed `cap` and the caller must use
+        the full traversal. Rows beyond n_rows are sentinel-filled (radius
+        -1e30, |c|^2 0) so whole-chunk evaluation never picks them.
+
+        With `bounds_ref` ((8, 128) f32 VMEM scratch), blocks are gathered
+        in PROJECTION ORDER along the row's mean ray and per-chunk
+        projection intervals are written to bounds_ref rows 0/1 — the
+        moving-window index ScratchScene.dist_only uses to evaluate only
+        the chunks overlapping the live lanes' current span (the r5
+        windowed-scratch optimization; `ref` is the reference-ray scalars
+        to construct the ScratchScene with)."""
         from jax import lax
 
         g = INSTANCED_GROUP
@@ -718,13 +773,47 @@ class InstancedScene:
         cols = lax.broadcasted_iota(jnp.int32, (g, 8), 1)
         sent = jnp.where(cols == 3, jnp.float32(-1e30), jnp.float32(0.0))
 
+        ref = None
+        if bounds_ref is not None:
+            # Reference ray for the chunk WINDOW (ScratchScene moving
+            # window): any fixed ray works for correctness (projection is
+            # 1-Lipschitz, so per-lane deviation never breaks the bound);
+            # the row's mean direction and mid origin make it tight.
+            inv = jnp.float32(1.0 / so[0].size)
+            ox = (jnp.min(so[0]) + jnp.max(so[0])) * 0.5
+            oy = (jnp.min(so[1]) + jnp.max(so[1])) * 0.5
+            oz = (jnp.min(so[2]) + jnp.max(so[2])) * 0.5
+            mx = jnp.sum(ld[0]) * inv
+            my = jnp.sum(ld[1]) * inv
+            mz = jnp.sum(ld[2]) * inv
+            nrm = jnp.sqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-12))
+            dx, dy, dz = mx / nrm, my / nrm, mz / nrm
+            ref = (ox, oy, oz, dx, dy, dz)
+            # pick blocks in PROJECTION order so each chunk covers a
+            # contiguous span along the ray and the per-step window
+            # [first, last] eligible chunk stays tight; min() is exactly
+            # associative, so table order never changes values
+            key = (
+                (self.mu_ref[:, 0:1] - ox) * dx
+                + (self.mu_ref[:, 1:2] - oy) * dy
+                + (self.mu_ref[:, 2:3] - oz) * dz
+            )
+            pick_key = jnp.where(flagged > 0.5, key, jnp.float32(jnp.inf))
+        else:
+            pick_key = None
+
         def cond(c):
             m_f, _ = c
             return jnp.max(m_f) > 0.5
 
         def body(c):
             m_f, off = c
-            m = jnp.min(jnp.where(m_f > 0.5, sub, self.nmu_pad))
+            if pick_key is None:
+                m = jnp.min(jnp.where(m_f > 0.5, sub, self.nmu_pad))
+            else:
+                live_key = jnp.where(m_f > 0.5, pick_key, jnp.inf)
+                kmin = jnp.min(live_key)
+                m = jnp.min(jnp.where(live_key <= kmin, sub, self.nmu_pad))
             scratch_ref[pl.ds(off, g), :] = self.sphere_ref[
                 pl.ds(m * g, g), :
             ]
@@ -754,7 +843,45 @@ class InstancedScene:
         n_rows = lax.cond(
             overflow > 0.5, lambda _: jnp.int32(0), do_gather, 0
         )
-        return n_rows, overflow
+
+        if bounds_ref is not None:
+            # per-chunk projection intervals [proj(c) - R, proj(c) + R]
+            # over the gathered rows, laid out one chunk per lane of two
+            # (1, 128) rows; empty/overflow chunks get an empty interval
+            chunk = ScratchScene.CHUNK
+            max_chunks = cap // chunk
+            lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            pmin0 = jnp.zeros((1, 128), jnp.float32) + jnp.inf
+            pmax0 = jnp.zeros((1, 128), jnp.float32) - jnp.inf
+            nchunks = (n_rows + chunk - 1) // chunk
+
+            def bounds_body(k, c):
+                pmin_row, pmax_row = c
+                tw = scratch_ref[pl.ds(k * chunk, chunk), :]
+                valid = tw[:, 3:4] > jnp.float32(-1e29)
+                proj = (
+                    (tw[:, 0:1] - ox) * dx
+                    + (tw[:, 1:2] - oy) * dy
+                    + (tw[:, 2:3] - oz) * dz
+                )
+                pmin_k = jnp.min(
+                    jnp.where(valid, proj - tw[:, 3:4], jnp.inf)
+                )
+                pmax_k = jnp.max(
+                    jnp.where(valid, proj + tw[:, 3:4], -jnp.inf)
+                )
+                pmin_row = jnp.where(lane == k, pmin_k, pmin_row)
+                pmax_row = jnp.where(lane == k, pmax_k, pmax_row)
+                return pmin_row, pmax_row
+
+            pmin_row, pmax_row = lax.fori_loop(
+                0, jnp.minimum(nchunks, max_chunks), bounds_body,
+                (pmin0, pmax0),
+            )
+            bounds_ref[0:1, :] = pmin_row
+            bounds_ref[1:2, :] = pmax_row
+
+        return n_rows, overflow, ref
 
 
     def sdf_track(self, px, py, pz, active=None, step_clamp=None):
@@ -861,11 +988,20 @@ class ScratchScene:
 
     CHUNK = SCRATCH_CHUNK
 
-    def __init__(self, inst: "InstancedScene", scratch_ref, n_rows):
+    def __init__(self, inst: "InstancedScene", scratch_ref, n_rows,
+                 bounds_ref=None, ref=None, window_clamp=None):
         self._inst = inst
         self._scratch = scratch_ref
         # chunk count rounded up; sentinel rows never win
         self._nchunks = (n_rows + self.CHUNK - 1) // self.CHUNK
+        # moving chunk window (gather_segment_blocks bounds_ref/ref): only
+        # chunks whose projection interval overlaps the live lanes' span
+        # +/- the clamp can change min(d, cut) — the same completeness
+        # argument as the gather itself (a windowed-out sphere has
+        # d > clamp and d >= d_bbox, hence d >= cut = max(clamp, d_bbox))
+        self._bounds = bounds_ref
+        self._ref = ref
+        self._wclamp = window_clamp
 
     def dist_only(self, px, py, pz, active=None, step_clamp=None):
         from jax import lax
@@ -880,9 +1016,34 @@ class ScratchScene:
             d = jnp.sqrt(dx * dx + dy * dy + dz * dz) - tw[:, 3:4]
             return jnp.minimum(dmin, jnp.min(d, axis=0, keepdims=True))
 
-        dmin = lax.fori_loop(
-            0, self._nchunks, chunk, czero(px) + jnp.inf
-        )
+        if self._bounds is not None and self._wclamp is not None:
+            # project the ACTIVE lanes' points onto the reference ray
+            # (1-Lipschitz: |proj(p) - proj(c)| <= |p - c|, so the
+            # interval test is conservative for every lane no matter how
+            # far it strays from the reference)
+            ox, oy, oz, rdx, rdy, rdz = self._ref
+            proj = (px - ox) * rdx + (py - oy) * rdy + (pz - oz) * rdz
+            act = (jnp.ones_like(px) > 0.0) if active is None else active
+            wmin = jnp.min(jnp.where(act, proj, jnp.inf))
+            wmax = jnp.max(jnp.where(act, proj, -jnp.inf))
+            m = jnp.float32(self._wclamp) + BOUND_MARGIN
+            lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            pmin_row = self._bounds[0:1, :]
+            pmax_row = self._bounds[1:2, :]
+            elig = (
+                (pmax_row >= wmin - m) & (pmin_row <= wmax + m)
+                & (lane < self._nchunks)
+            )
+            # evaluate the [first, last] eligible span (chunks are
+            # projection-ordered, so the span is tight; stragglers in
+            # between are evaluated harmlessly)
+            lo = jnp.min(jnp.where(elig, lane, self._nchunks))
+            hi = jnp.max(jnp.where(elig, lane, -1)) + 1
+            dmin = lax.fori_loop(lo, hi, chunk, czero(px) + jnp.inf)
+        else:
+            dmin = lax.fori_loop(
+                0, self._nchunks, chunk, czero(px) + jnp.inf
+            )
         cut = self._inst._cut(px, py, pz, step_clamp)
         if cut is not None:
             dmin = jnp.minimum(dmin, cut)
@@ -1066,7 +1227,8 @@ class ScalarScene:
         return jnp.where(lit, 1.0, 0.0)
 
 
-def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
+def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None,
+               unroll=1):
     """THE sphere-trace march loop body (naive_renderer.c:46-69 semantics,
     per-tile early exit, done-lane freezing, optional closest-approach
     tracking for soft-coverage AA) — the single source shared by the value
@@ -1076,7 +1238,15 @@ def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
     ro/rd are component tuples in the kernel's tile layout; returns
     (t, t_query, s_min, t_close) with s_min/t_close meaningful only when
     track_aa. Done flags are f32 (Mosaic rejects loop-carried i1
-    vectors)."""
+    vectors).
+
+    `unroll` = SDF sub-steps per while_loop iteration (resolve_unroll):
+    the loop is bound by the serial `min(done)` reduce + branch per
+    iteration (the r4 tile-sweep finding), so K sub-steps amortize it
+    K-fold. Results are bitwise identical to K=1: done lanes freeze per
+    lane, and a lane reaching the step cap mid-block is marked done by
+    the explicit `step + j + 1 >= max_steps` term — exactly the state at
+    which the K=1 loop's cond would have exited it."""
     ro_x, ro_y, ro_z = ro
     rdx, rdy, rdz = rd
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
@@ -1091,23 +1261,26 @@ def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
 
         def body(c):
             step, t, t_query, s_min, t_close, done_f = c
-            done = done_f > 0.5
-            d = scn.dist_only(
-                ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
-                active=~done, step_clamp=step_clamp,
-            )
-            new_t = t + d
-            # angular closest approach min_i d_i/t_i (march.py:83-92)
-            track = (~done) & (t > 0.0)
-            s = d / jnp.where(t > 0.0, t, 1.0)
-            better = track & (s < s_min)
-            s_min = jnp.where(better, s, s_min)
-            t_close = jnp.where(better, t, t_close)
-            t_query = jnp.where(done, t_query, t)
-            t = jnp.where(done, t, new_t)
-            now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
-            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-            return step + 1, t, t_query, s_min, t_close, done_f
+            for j in range(unroll):
+                done = done_f > 0.5
+                d = scn.dist_only(
+                    ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
+                    active=~done, step_clamp=step_clamp,
+                )
+                new_t = t + d
+                # angular closest approach min_i d_i/t_i (march.py:83-92)
+                track = (~done) & (t > 0.0)
+                s = d / jnp.where(t > 0.0, t, 1.0)
+                better = track & (s < s_min)
+                s_min = jnp.where(better, s, s_min)
+                t_close = jnp.where(better, t, t_close)
+                t_query = jnp.where(done, t_query, t)
+                t = jnp.where(done, t, new_t)
+                now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist) | (
+                    step + j + 1 >= cfg.max_steps
+                )
+                done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+            return step + unroll, t, t_query, s_min, t_close, done_f
 
         from jax import lax
 
@@ -1118,17 +1291,20 @@ def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
 
     def body(c):
         step, t, t_query, done_f = c
-        done = done_f > 0.5
-        d = scn.dist_only(
-            ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
-            active=~done, step_clamp=step_clamp,
-        )
-        new_t = t + d
-        t_query = jnp.where(done, t_query, t)
-        t = jnp.where(done, t, new_t)
-        now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist)
-        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-        return step + 1, t, t_query, done_f
+        for j in range(unroll):
+            done = done_f > 0.5
+            d = scn.dist_only(
+                ro_x + t * rdx, ro_y + t * rdy, ro_z + t * rdz,
+                active=~done, step_clamp=step_clamp,
+            )
+            new_t = t + d
+            t_query = jnp.where(done, t_query, t)
+            t = jnp.where(done, t, new_t)
+            now_done = (d < cfg.epsilon) | (new_t > cfg.max_dist) | (
+                step + j + 1 >= cfg.max_steps
+            )
+            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+        return step + unroll, t, t_query, done_f
 
     from jax import lax
 
@@ -1137,7 +1313,7 @@ def march_loop(scn, cfg, ro, rd, track_aa=True, step_clamp=None):
 
 
 def shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=None,
-                init_done=None):
+                init_done=None, unroll=1):
     """THE soft-shadow march loop body (naive_renderer.c:71-100 semantics
     incl. the first-iteration w*d/0 -> +/-inf quirk), shared by the value
     shadow kernel and the fused kernels; returns (res, t_star).
@@ -1146,7 +1322,10 @@ def shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=None,
     conservative bound (InstancedScene.segment_lit): they start done with
     res = 1.0 / t_star = 0 — bitwise what the march would produce — and a
     fully pre-done tile skips the loop entirely (the cond sees
-    min(done) >= 0.5 before the first iteration)."""
+    min(done) >= 0.5 before the first iteration).
+
+    `unroll` = sub-steps per while_loop iteration, same bitwise-exactness
+    argument as march_loop (step-cap term in the done flag)."""
     from jax import lax
 
     sox, soy, soz = so
@@ -1161,23 +1340,27 @@ def shadow_loop(scn, cfg, so, ld, max_dist, step_clamp=None,
 
     def body(c):
         step, res, t, t_star, done_f = c
-        done = done_f > 0.5
-        d = scn.dist_only(
-            sox + t * ldx, soy + t * ldy, soz + t * ldz,
-            active=~done, step_clamp=step_clamp,
-        )
-        live = t > 0.0
-        safe_t = jnp.where(live, t, 1.0)
-        val = jnp.where(
-            live, cfg.shadow_w * d / safe_t, jnp.where(d < 0.0, -inf, inf)
-        )
-        better = (~done) & (val < res)
-        new_res = jnp.where(done, res, jnp.minimum(res, val))
-        t_star = jnp.where(better, t, t_star)
-        new_t = jnp.where(done, t, t + d)
-        now_done = (new_res < -1.0) | (new_t > max_dist)
-        done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
-        return step + 1, new_res, new_t, t_star, done_f
+        for j in range(unroll):
+            done = done_f > 0.5
+            d = scn.dist_only(
+                sox + t * ldx, soy + t * ldy, soz + t * ldz,
+                active=~done, step_clamp=step_clamp,
+            )
+            live = t > 0.0
+            safe_t = jnp.where(live, t, 1.0)
+            val = jnp.where(
+                live, cfg.shadow_w * d / safe_t,
+                jnp.where(d < 0.0, -inf, inf),
+            )
+            better = (~done) & (val < res)
+            res = jnp.where(done, res, jnp.minimum(res, val))
+            t_star = jnp.where(better, t, t_star)
+            t = jnp.where(done, t, t + d)
+            now_done = (res < -1.0) | (t > max_dist) | (
+                step + j + 1 >= cfg.shadow_steps
+            )
+            done_f = jnp.maximum(done_f, jnp.where(now_done, 1.0, 0.0))
+        return step + unroll, res, t, t_star, done_f
 
     done0 = zeros if init_done is None else zeros + init_done
     _, res, _, t_star, _ = lax.while_loop(

@@ -315,7 +315,7 @@ def _shade_from_frozen(structure, cfg, scn, cam,
 
 
 def _train_fwd_kernel(structure, cfg, height, width, fields,
-                      with_residuals, tile, cam_ref, *refs):
+                      with_residuals, tile, unroll, cam_ref, *refs):
     param_refs = dict(zip(fields, refs[: len(fields)]))
     if with_residuals:
         img_ref, res_ref = refs[len(fields):]
@@ -337,7 +337,7 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
     # closest-approach tracking for AA coverage is only carried when the
     # config needs it ------------------------------------------------------
     t, t_query, _, t_close = march_loop(
-        scn, cfg, ro, rd, track_aa=cfg.antialias
+        scn, cfg, ro, rd, track_aa=cfg.antialias, unroll=unroll
     )
     hit = t < cfg.max_dist
 
@@ -406,7 +406,7 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
             )
         res, t_star = shadow_loop(
             scn, cfg, (sox, soy, soz), (ldx, ldy, ldz), light_dist,
-            init_done=lit,
+            init_done=lit, unroll=unroll,
         )
         shadow_res.append(res)
         shadow_tstar.append(t_star)
@@ -522,7 +522,7 @@ def make_fwd_call(structure, height, width, cfg, interpret=False,
     call renders; `full_height` (default: height) is the whole image's
     height for NDC mapping — row-sharded callers pass their shard height
     plus the global height, with the shard's first row in cam[15]."""
-    from loltracer_tpu.render.pallas_scene import resolve_tile
+    from loltracer_tpu.render.pallas_scene import resolve_tile, resolve_unroll
 
     fields = active_fields(structure)
     n_res = num_residuals(structure)
@@ -542,7 +542,7 @@ def make_fwd_call(structure, height, width, cfg, interpret=False,
     return pl.pallas_call(
         functools.partial(
             _train_fwd_kernel, structure, cfg, full_height or height, width,
-            fields, with_residuals, tile,
+            fields, with_residuals, tile, resolve_unroll(interpret),
         ),
         grid=(gh, gw),
         in_specs=[_smem()] + [_smem() for _ in fields],
@@ -557,13 +557,27 @@ def make_bwd_call(structure, height, width, cfg, interpret=False,
                   full_height=None):
     """The fused backward pallas_call: (cam, *fields, residuals [R, ph, pw],
     cotangent [3, ph, pw]) -> (dcam [16], *dfields), with the parameter
-    gradients accumulated across the sequential grid."""
-    from loltracer_tpu.render.pallas_scene import field_shape, resolve_tile
+    gradients accumulated across the sequential grid.
+
+    The residual/cotangent arrays are laid out by the FORWARD call's
+    padded grid, but the backward runs its OWN (smaller) tile
+    (resolve_bwd_tile): its vjp working set is the VMEM ceiling
+    (14.8M/16M at 64x128 for L=2, measured), while the forward tile is
+    free to grow — the backward has no march loops so its tile shape is
+    not perf-critical (xprof: bwd = 6% of device time)."""
+    from loltracer_tpu.render.pallas_scene import (
+        field_shape,
+        resolve_bwd_tile,
+        resolve_tile,
+    )
 
     fields = active_fields(structure)
     n_res = num_residuals(structure)
-    tile = resolve_tile(cfg, interpret, height, structure.num_lights)
-    gh, gw = cdiv(height, tile[0]), cdiv(width, tile[1])
+    ftile = resolve_tile(cfg, interpret, height, structure.num_lights)
+    ph = cdiv(height, ftile[0]) * ftile[0]
+    pw = cdiv(width, ftile[1]) * ftile[1]
+    tile = resolve_bwd_tile(cfg, interpret, ph, structure.num_lights)
+    gh, gw = ph // tile[0], pw // tile[1]
     grad_shapes = [field_shape(structure, f) for f in fields]
     return pl.pallas_call(
         functools.partial(
@@ -748,9 +762,16 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
     param_refs = dict(zip(fields, refs[: len(fields)]))
     outs = refs[len(fields):]
     scratch_ref = None
+    bounds_ref = None
     if use_scratch:
-        scratch_ref = outs[-1]
-        outs = outs[:-1]
+        # (scratch table, chunk-window bounds) scratch refs; bounds_ref
+        # stays None (full-table evaluation) with cfg.scratch_window off
+        if cfg.scratch_window:
+            scratch_ref, bounds_ref = outs[-2], outs[-1]
+            outs = outs[:-2]
+        else:
+            scratch_ref = outs[-1]
+            outs = outs[:-1]
     if with_residuals:
         img_ref, res_ref = outs
     else:
@@ -782,14 +803,17 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
     if scratch_ref is not None and clamp is not None:
         zl = czero(rdx)
         ro_pl = (ro_x + zl, ro_y + zl, ro_z + zl)
-        n_rows_p, over_p = inst.gather_segment_blocks(
+        n_rows_p, over_p, ref_p = inst.gather_segment_blocks(
             ro_pl, rd, jnp.float32(cfg.max_dist), clamp, scratch_ref,
-            cfg.shadow_scratch,
+            cfg.shadow_scratch, bounds_ref=bounds_ref,
         )
         from loltracer_tpu.render.pallas_scene import ScratchScene
 
         def scratch_march(_):
-            scn_p = ScratchScene(inst, scratch_ref, n_rows_p)
+            scn_p = ScratchScene(
+                inst, scratch_ref, n_rows_p, bounds_ref=bounds_ref,
+                ref=ref_p, window_clamp=clamp,
+            )
             return march_loop(
                 scn_p, cfg, ro, rd, track_aa=cfg.antialias,
                 step_clamp=clamp,
@@ -887,12 +911,16 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
             from loltracer_tpu.render.pallas_scene import ScratchScene
 
             cap = cfg.shadow_scratch
-            n_rows, overflow = inst.gather_segment_blocks(
-                so, ld, light_dist, shadow_clamp, scratch_ref, cap
+            n_rows, overflow, ref_s = inst.gather_segment_blocks(
+                so, ld, light_dist, shadow_clamp, scratch_ref, cap,
+                bounds_ref=bounds_ref,
             )
 
             def scratch_march(_):
-                scn_s = ScratchScene(inst, scratch_ref, n_rows)
+                scn_s = ScratchScene(
+                    inst, scratch_ref, n_rows, bounds_ref=bounds_ref,
+                    ref=ref_s, window_clamp=shadow_clamp,
+                )
                 return shadow_loop(
                     scn_s, cfg, so, ld, light_dist,
                     step_clamp=shadow_clamp, init_done=lit,
@@ -962,6 +990,9 @@ def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
         [pltpu.VMEM((cfg.shadow_scratch, 8), jnp.float32)]
         if use_scratch else []
     )
+    if use_scratch and cfg.scratch_window:
+        # per-chunk projection-interval rows for the moving window
+        scratch_shapes.append(pltpu.VMEM((8, 128), jnp.float32))
 
     def _row(ch):
         return pl.BlockSpec(

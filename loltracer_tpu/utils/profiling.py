@@ -120,6 +120,129 @@ def march_step_stats(
     }
 
 
+def shadow_step_counts(
+    structure: SceneStructure,
+    params: SceneParams,
+    height: int,
+    width: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+) -> np.ndarray:
+    """Per-pixel, per-light shadow-march iteration counts at the primary
+    hit (naive_renderer.c:71-100 loop trips), [L, H, W] int32 — the other
+    70%+ of the frame cost (PERF.md instanced decomposition)."""
+    sdf = make_scene_sdf(structure)
+
+    @jax.jit
+    def run(params):
+        ro, rd = camera_rays(params, height, width, cfg)
+        batch = rd.shape[:-1]
+
+        def march(ro, rd):
+            t0 = jnp.zeros(batch, rd.dtype)
+            done0 = jnp.zeros(batch, bool)
+
+            def cond(c):
+                i, _, done = c
+                return (i < cfg.max_steps) & ~jnp.all(done)
+
+            def body(c):
+                i, t, done = c
+                d = sdf(params, ro + t[..., None] * rd)
+                new_t = t + d
+                t = jnp.where(done, t, new_t)
+                done = done | (d < cfg.epsilon) | (new_t > cfg.max_dist)
+                return i + 1, t, done
+
+            _, t, _ = lax.while_loop(cond, body, (0, t0, done0))
+            return t
+
+        t = march(ro, rd)
+        p = ro + t[..., None] * rd
+
+        def shadow_steps(lp):
+            to_light = lp - p
+            light_dist = jnp.sqrt(jnp.sum(to_light * to_light, -1))
+            ld = to_light / jnp.maximum(light_dist[..., None], 1e-30)
+            so = p + ld * cfg.shadow_offset
+            res0 = jnp.ones(batch, p.dtype)
+            t0 = jnp.zeros(batch, p.dtype)
+            steps0 = jnp.zeros(batch, jnp.int32)
+            done0 = jnp.zeros(batch, bool)
+
+            def cond(c):
+                i, _, _, _, done = c
+                return (i < cfg.shadow_steps) & ~jnp.all(done)
+
+            def body(c):
+                i, res, t, steps, done = c
+                d = sdf(params, so + t[..., None] * ld)
+                val = cfg.shadow_w * d / t
+                res = jnp.where(done, res, jnp.minimum(res, val))
+                t = jnp.where(done, t, t + d)
+                steps = jnp.where(done, steps, steps + 1)
+                done = done | (res < -1.0) | (t > light_dist)
+                return i + 1, res, t, steps, done
+
+            _, _, _, steps, _ = lax.while_loop(
+                cond, body, (0, res0, t0, steps0, done0)
+            )
+            return steps
+
+        return jnp.stack(
+            [shadow_steps(params.light_point[li])
+             for li in range(structure.num_lights)]
+        )
+
+    return np.asarray(run(params))
+
+
+def band_balance(
+    structure: SceneStructure,
+    params: SceneParams,
+    height: int,
+    width: int,
+    n_bands: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    tile: Tuple[int, int] = (8, 128),
+) -> Dict[str, object]:
+    """Deterministic per-band cost model for row-sharded SPMD (SURVEY
+    §5.7): a band's cost is the sum over its tiles of the WORST-lane march
+    steps plus per-light worst-lane shadow steps — the serial tile-loop
+    cost the r4 tile sweep proved dominant (PERF.md). Returns per-band
+    costs and the load-balance efficiency sum / (N * max): the fraction of
+    ideal weak/strong-scaling throughput an N-way row shard of THIS image
+    can reach, independent of host contention (r4 verdict weak #3 — the
+    faked-CPU wall ladders measure contention, this measures the
+    algorithm). Real collectives add only a KB-sized grad psum on top."""
+    if height % (n_bands * tile[0]):
+        raise ValueError(
+            f"height {height} must tile into {n_bands} bands of "
+            f"{tile[0]}-row tiles"
+        )
+    march = march_step_counts(structure, params, height, width, cfg)
+    shadow = shadow_step_counts(structure, params, height, width, cfg)
+    th, tw = tile
+    ww = width - width % tw
+    if not ww:
+        raise ValueError(f"width {width} smaller than tile width {tw}")
+
+    def tile_cost(plane):  # [H, W] -> summed worst-lane steps per band
+        tiles = plane[:, :ww].reshape(height // th, th, ww // tw, tw)
+        per_tile = tiles.max(axis=(1, 3))  # [H/th, W/tw]
+        bands = per_tile.reshape(n_bands, -1, per_tile.shape[1])
+        return bands.sum(axis=(1, 2)).astype(np.float64)
+
+    costs = tile_cost(march)
+    for li in range(shadow.shape[0]):
+        costs = costs + tile_cost(shadow[li])
+    eff = float(costs.sum() / (n_bands * costs.max()))
+    return {
+        "n_bands": n_bands,
+        "band_costs": [float(c) for c in costs],
+        "efficiency_balance": eff,
+    }
+
+
 class frame_timer:
     """Running frame-time stats in the spirit of main.c:196-204."""
 

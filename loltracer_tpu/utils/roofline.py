@@ -85,7 +85,7 @@ def roofline_estimate(
     width: int,
     measured_seconds: float,
     cfg: RenderConfig = DEFAULT_CONFIG,
-    peak_flops: float = V5E_VPU_PEAK_F32,
+    peak_flops: Optional[float] = None,
     mode: str = "fwd",
 ) -> Dict[str, float]:
     """Estimate the fused kernel's achieved fraction of VPU peak.
@@ -95,9 +95,24 @@ def roofline_estimate(
     compares weighted-op throughput against `peak_flops`. `measured_seconds`
     is the measured wall time of one forward (mode="fwd") or one
     forward+backward (mode="fwdbwd") at this size.
+
+    `peak_flops=None` prefers the MEASURED ceiling from the committed
+    `loltrace peak` artifact (utils/peak.py, artifacts/vpu_peak.json) and
+    only falls back to the modeled V5E_VPU_PEAK_F32 constant without one
+    (r4 verdict item 3b: the peak must be a measurement, not ALU-count
+    arithmetic). The record says which was used (`peak_source`).
     """
     from loltracer_tpu.render.pallas_scene import resolve_tile
+    from loltracer_tpu.utils.peak import load_measured_peak
     from loltracer_tpu.utils.profiling import march_step_counts
+
+    peak_source = "explicit"
+    if peak_flops is None:
+        peak_flops = load_measured_peak()
+        peak_source = "measured_artifact"
+        if peak_flops is None:
+            peak_flops = V5E_VPU_PEAK_F32
+            peak_source = "modeled_constant"
 
     eval_cost = sdf_eval_cost(structure)
     tile = resolve_tile(cfg, False, height, structure.num_lights)
@@ -139,5 +154,6 @@ def roofline_estimate(
         "total_weighted_ops": total_ops,
         "achieved_ops_per_s": achieved,
         "peak_ops_per_s": peak_flops,
+        "peak_source": peak_source,
         "fraction_of_peak": achieved / peak_flops,
     }

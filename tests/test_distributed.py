@@ -100,3 +100,12 @@ def test_two_process_loopback():
         assert info["devices"] == 8
         assert abs(info["sharded_loss"] - info["local_loss"]) < 1e-6
         assert info["step_loss"] < 1e-10
+        # the production fused custom_vjp tiers over the process-spanning
+        # mesh (r4 verdict weak #4): one train step each through
+        # fused="interpret" on scene4 and an instanced scene, matching
+        # the local single-device fused step
+        assert info["fused_loss_diff"] < 1e-6
+        assert info["fused_param_diff"] < 1e-5
+        assert info["instanced_loss_diff"] < 1e-6
+        assert info["instanced_param_diff"] < 1e-5
+        assert info["fused_loss"] > 0 and info["instanced_loss"] > 0
