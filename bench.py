@@ -83,6 +83,17 @@ def main():
         shadow_cull=shadow_cull,
         scratch_window=scratch_window,
     )
+    # decomposition hooks (values change; timing-only A/B):
+    # BENCH_SHADOW_STEPS / BENCH_MAX_STEPS cap the loops, BENCH_SCRATCH_ROWS
+    # resizes the scratch table
+    if os.environ.get("BENCH_SHADOW_STEPS"):
+        cfg = cfg.replace(shadow_steps=int(os.environ["BENCH_SHADOW_STEPS"]))
+    if os.environ.get("BENCH_MAX_STEPS"):
+        cfg = cfg.replace(max_steps=int(os.environ["BENCH_MAX_STEPS"]))
+    if os.environ.get("BENCH_SCRATCH_ROWS"):
+        cfg = cfg.replace(
+            shadow_scratch=int(os.environ["BENCH_SCRATCH_ROWS"])
+        )
 
     # Default to the fused Pallas tier on TPU for BOTH modes (fwd: the fused
     # forward renderer; fwdbwd: the custom_vjp training kernels); jnp

@@ -66,7 +66,17 @@ def device_time_main():
         step_clamp=clamp if scene.structure.instanced else None,
     )
 
+    from loltracer_tpu.parallel.sharded import (
+        interleave_rows,
+        row_granularity,
+    )
+    from loltracer_tpu.utils.profiling import block_row_costs
+
     reps = int(os.environ.get("SCALE_REPS", 3))
+    # SCALE_ASSIGN: lpt (production default) | snake | contiguous —
+    # measuring all three quantifies what the cost-aware schedule buys
+    assign = os.environ.get("SCALE_ASSIGN", "lpt")
+    G = row_granularity(scene.structure)
     records = []
     for n in (2, 4, 8):
         height = ROWS_PER_DEVICE * n
@@ -78,12 +88,12 @@ def device_time_main():
         band = make(
             scene.structure, ROWS_PER_DEVICE, WIDTH, cfg,
             interpret=interpret, full_height=height,
-            with_row_offset=True,
+            with_row_table=True,
         )
 
-        def both(p, r0):
+        def both(p, tab):
             def loss(p):
-                img = band(p, r0)
+                img = band(p, tab)
                 return jnp.mean(img * img)
 
             l, g = jax.value_and_grad(loss)(p)
@@ -93,22 +103,36 @@ def device_time_main():
 
         fn = jax.jit(both)
 
+        if assign == "contiguous":
+            perm = np.arange(height)
+        else:
+            bc = (
+                block_row_costs(
+                    scene.structure, scene.params, height, WIDTH, G, cfg
+                )
+                if assign == "lpt" else None
+            )
+            pi = interleave_rows(height, n, G, block_costs=bc)
+            perm = pi[0] if pi is not None else np.arange(height)
+
         band_s = []
         for i in range(n):
-            row0 = jnp.float32(i * ROWS_PER_DEVICE)
-            np.asarray(fn(scene.params, row0))  # compile (shared) + warmup
+            rows_i = perm[i * ROWS_PER_DEVICE:(i + 1) * ROWS_PER_DEVICE]
+            tab = jnp.asarray(rows_i[::G], jnp.float32)
+            np.asarray(fn(scene.params, tab))  # compile (shared) + warmup
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 # fetch the scalar: through the axon tunnel
                 # block_until_ready under-reports (PERF.md)
-                np.asarray(fn(scene.params, row0))
+                np.asarray(fn(scene.params, tab))
                 times.append(time.perf_counter() - t0)
             band_s.append(min(times))
         eff = sum(band_s) / (n * max(band_s))
         rec = {
             "devices": n,
             "height": height,
+            "assignment": assign,
             "band_s": [round(t, 5) for t in band_s],
             "efficiency_device_time": round(eff, 4),
             "mode": "fwdbwd",
@@ -118,7 +142,7 @@ def device_time_main():
         sys.stdout.flush()
 
     out = os.environ.get("SCALE_OUT", "SCALING.json")
-    ladder = {"platform": "device_time",
+    ladder = {"platform": f"device_time-{assign}",
               "backend": "interpret" if interpret else "pallas",
               "rows_per_device": ROWS_PER_DEVICE, "width": WIDTH,
               "scene": SCENE, "mode": "fwdbwd",

@@ -54,16 +54,110 @@ def _row_axes(mesh: Mesh):
     return tuple(mesh.axis_names)
 
 
+def row_granularity(structure) -> int:
+    """Interleave/row-table block size: whole P_H-row patches for
+    instanced scenes (patch coherence feeds the traversal windows), 8-row
+    sublane groups for compiled scenes."""
+    if structure.instanced:
+        from loltracer_tpu.render.pallas_march import P_H
+
+        return P_H
+    return 8
+
+
+def assign_blocks(n_blocks: int, n_shards: int, block_costs=None):
+    """Owner shard per G-row block, every shard owning exactly
+    n_blocks / n_shards blocks (shard_map needs equal shapes).
+
+    Without costs: SNAKE dealing (0..N-1, N-1..0, ...) — cancels smooth
+    vertical cost trends (sky cheap, ground expensive) but is limited by
+    block-cost variance at few blocks per shard. With costs (the
+    deterministic step-count model, utils/profiling.block_row_costs):
+    capacity-constrained LPT — blocks sorted by estimated cost, each
+    assigned to the least-loaded shard with capacity left. That is the
+    TPU-native answer to the reference's DYNAMIC scanline stealing
+    (naive_renderer.c:216): compute the schedule host-side once, compile
+    a static SPMD program."""
+    import numpy as np
+
+    owner = np.empty(n_blocks, np.int64)
+    if block_costs is None:
+        for b in range(n_blocks):
+            r = b % (2 * n_shards)
+            owner[b] = r if r < n_shards else 2 * n_shards - 1 - r
+        return owner
+    costs = np.asarray(block_costs, np.float64)
+    if costs.shape != (n_blocks,):
+        raise ValueError(
+            f"block_costs must have shape ({n_blocks},); got {costs.shape}"
+        )
+    cap = n_blocks // n_shards
+    load = np.zeros(n_shards)
+    count = np.zeros(n_shards, np.int64)
+    for b in np.argsort(-costs):
+        open_shards = np.flatnonzero(count < cap)
+        i = open_shards[np.argmin(load[open_shards])]
+        owner[b] = i
+        load[i] += costs[b]
+        count[i] += 1
+    return owner
+
+
+def interleave_rows(height: int, n_shards: int, G: int, block_costs=None):
+    """Global row order for BALANCED row sharding: G-row blocks dealt to
+    shards (assign_blocks — snake, or cost-aware LPT when block_costs is
+    given), each shard's blocks concatenated in image order. Returns
+    (perm, inv) int arrays — perm[i] = the image row rendered at sharded
+    position i — or None when height does not split into n_shards * G
+    blocks (callers fall back to contiguous bands)."""
+    import numpy as np
+
+    if height % (n_shards * G):
+        return None
+    nblocks = height // G
+    owner = assign_blocks(nblocks, n_shards, block_costs)
+    perm = np.concatenate([
+        np.concatenate(
+            [np.arange(b * G, (b + 1) * G)
+             for b in range(nblocks) if owner[b] == i]
+        )
+        for i in range(n_shards)
+    ])
+    inv = np.argsort(perm)
+    return perm, inv
+
+
+def _row_permutation(structure, height, width, mesh, cfg, interleave,
+                     balance_params):
+    """(perm, inv) for the dealt row order, or None (contiguous). With
+    balance_params, per-block costs from the deterministic step-count
+    model drive the LPT schedule; else snake dealing."""
+    if not interleave:
+        return None
+    G = row_granularity(structure)
+    n = mesh.devices.size
+    bc = None
+    if balance_params is not None and height % G == 0:
+        from loltracer_tpu.utils.profiling import block_row_costs
+
+        bc = block_row_costs(
+            structure, balance_params, height, width, G, cfg
+        )
+    return interleave_rows(height, n, G, block_costs=bc)
+
+
 def _fused_row_renderer(structure, cfg, mesh, height, width, fused):
     """The per-shard fused training renderer when it applies (TPU mesh or
     explicit request, envelope shadows), else None -> the jnp path. Each
-    device renders its contiguous row block through the custom_vjp Pallas
+    device renders its assigned rows through the custom_vjp Pallas
     kernels (render/pallas_train.py) — the compiled-scene kernels or the
     instanced windowed-traversal kernels (r3 verdict missing #1: BASELINE
     config 5's fast path is now scene-agnostic under shard_map, like the
     reference's scanline parallelism naive_renderer.c:216) — so the SPMD
     training step's entire per-device compute is two fused kernels + the
-    loss."""
+    loss. The returned fn takes (params, rows) and derives its ROW TABLE
+    from the shard's row vector, so both contiguous and interleaved
+    assignments work."""
     if fused == "off" or cfg.shadow_grad != "envelope":
         return None
     if fused == "auto":
@@ -75,21 +169,28 @@ def _fused_row_renderer(structure, cfg, mesh, height, width, fused):
     else:
         raise ValueError(f"unknown fused mode {fused!r}")
     rows_per = height // mesh.devices.size
+    G = row_granularity(structure)
     if structure.instanced:
         from loltracer_tpu.render.pallas_train import (
             make_instanced_training_renderer,
         )
 
-        return make_instanced_training_renderer(
+        tab_fn = make_instanced_training_renderer(
             structure, rows_per, width, cfg, interpret=interpret,
-            full_height=height, with_row_offset=True,
+            full_height=height, with_row_table=True,
         )
-    from loltracer_tpu.render.pallas_train import make_training_renderer
+    else:
+        from loltracer_tpu.render.pallas_train import make_training_renderer
 
-    return make_training_renderer(
-        structure, rows_per, width, cfg, interpret=interpret,
-        full_height=height, with_row_offset=True,
-    )
+        tab_fn = make_training_renderer(
+            structure, rows_per, width, cfg, interpret=interpret,
+            full_height=height, with_row_table=True,
+        )
+
+    def fn(params, rows):
+        return tab_fn(params, rows[::G].astype(jnp.float32))
+
+    return fn
 
 
 def _jnp_row_renderer(structure, cfg, height, width, dtype,
@@ -132,10 +233,18 @@ def make_sharded_renderer(
     cfg: RenderConfig = DEFAULT_CONFIG,
     dtype=jnp.float32,
     fused: str = "auto",
+    interleave: bool = True,
+    balance_params: Optional[SceneParams] = None,
 ) -> Callable[[SceneParams], jnp.ndarray]:
     """Compile `params -> [H, W, 3]` with rows sharded over the mesh and the
     scene parameters replicated. `fused` selects the per-shard fused Pallas
-    tier ("auto" on TPU meshes / "interpret" / "off" -> jnp)."""
+    tier ("auto" on TPU meshes / "interpret" / "off" -> jnp). Rows are
+    dealt to devices in interleaved blocks when the height allows
+    (`interleave`, see interleave_rows/assign_blocks) — per-pixel values
+    are identical either way, only the load balance changes. Passing
+    `balance_params` (typically the current scene params) upgrades the
+    snake deal to the cost-aware LPT schedule from the step-count model
+    (utils/profiling.block_row_costs), computed once at build time."""
     _check_divisible(height, mesh)
     cfg = _resolve_backend(cfg, mesh)
     axes = _row_axes(mesh)
@@ -144,7 +253,7 @@ def make_sharded_renderer(
 
     def render_rows(params: SceneParams, rows):
         if fused_fn is not None:
-            return fused_fn(params, rows[0].astype(jnp.float32))
+            return fused_fn(params, rows)
         return jnp_rows(params, rows)
 
     sharded = shard_map(
@@ -154,11 +263,20 @@ def make_sharded_renderer(
         out_specs=P(axes),
         check_vma=False,
     )
-    rows = jnp.arange(height, dtype=jnp.int32)
+    pi = _row_permutation(
+        structure, height, width, mesh, cfg, interleave, balance_params
+    )
+    if pi is None:
+        rows = jnp.arange(height, dtype=jnp.int32)
+        inv = None
+    else:
+        rows = jnp.asarray(pi[0], jnp.int32)
+        inv = jnp.asarray(pi[1], jnp.int32)
 
     @jax.jit
     def renderer(params: SceneParams) -> jnp.ndarray:
-        return sharded(params, rows)
+        img = sharded(params, rows)
+        return img if inv is None else img[inv]
 
     return renderer
 
@@ -171,12 +289,16 @@ def make_sharded_loss(
     cfg: RenderConfig = DEFAULT_CONFIG,
     dtype=jnp.float32,
     fused: str = "auto",
+    interleave: bool = True,
+    balance_params: Optional[SceneParams] = None,
 ) -> Callable[[SceneParams, jnp.ndarray], jnp.ndarray]:
     """`(params, target [H, W, 3]) -> scalar mean-squared-error`, computed
     with rows sharded and the partial sums all-reduced (the backward pass of
     the psum is where scene-parameter gradients get all-reduced). On TPU
     meshes with envelope shadows, each shard's render fwd+bwd runs through
-    the fused Pallas training kernels (`fused`, _fused_row_renderer)."""
+    the fused Pallas training kernels (`fused`, _fused_row_renderer).
+    With `interleave`, rows (and the target, identically) are dealt in
+    snake blocks; the summed loss is permutation-invariant."""
     _check_divisible(height, mesh)
     cfg = _resolve_backend(cfg, mesh)
     axes = _row_axes(mesh)
@@ -185,7 +307,7 @@ def make_sharded_loss(
 
     def local_loss(params: SceneParams, rows, target_rows):
         if fused_fn is not None:
-            img = fused_fn(params, rows[0].astype(jnp.float32))
+            img = fused_fn(params, rows)
         else:
             img = jnp_rows(params, rows)
         sq = (img - target_rows) ** 2
@@ -198,10 +320,19 @@ def make_sharded_loss(
         out_specs=P(),
         check_vma=False,
     )
-    rows = jnp.arange(height, dtype=jnp.int32)
+    pi = _row_permutation(
+        structure, height, width, mesh, cfg, interleave, balance_params
+    )
+    if pi is None:
+        rows = jnp.arange(height, dtype=jnp.int32)
+        perm = None
+    else:
+        rows = jnp.asarray(pi[0], jnp.int32)
+        perm = rows
 
     def loss(params: SceneParams, target: jnp.ndarray) -> jnp.ndarray:
-        return sharded(params, rows, target)
+        tgt = target if perm is None else target[perm]
+        return sharded(params, rows, tgt)
 
     return loss
 
@@ -216,6 +347,8 @@ def make_sharded_train_step(
     dtype=jnp.float32,
     project: Optional[Callable[[SceneParams], SceneParams]] = None,
     fused: str = "auto",
+    interleave: bool = True,
+    balance_params: Optional[SceneParams] = None,
 ):
     """Build a jitted SPMD training step for inverse rendering:
 
@@ -226,7 +359,8 @@ def make_sharded_train_step(
     `project` optionally re-projects params after the update (e.g. radii > 0).
     """
     loss_fn = make_sharded_loss(
-        structure, mesh, height, width, cfg, dtype, fused=fused
+        structure, mesh, height, width, cfg, dtype, fused=fused,
+        interleave=interleave, balance_params=balance_params,
     )
 
     @jax.jit

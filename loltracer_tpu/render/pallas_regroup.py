@@ -88,6 +88,9 @@ def _vmem():
 def _march_track_kernel(structure, cfg, height, width, gpw, fields,
                         use_scratch, cam_ref, sph_ref, mu_ref, blk_ref,
                         bbox_ref, *refs):
+    mug_ref = None
+    if use_scratch:
+        mug_ref, refs = refs[0], refs[1:]
     param_refs = dict(zip(fields, refs[: len(fields)]))
     rest = refs[len(fields):]
     scratch_ref = bounds_ref = None
@@ -108,6 +111,7 @@ def _march_track_kernel(structure, cfg, height, width, gpw, fields,
     inst = InstancedScene(
         structure, sph_ref, mu_ref, blk_ref,
         list(values.get("plane_y", ())), bbox_ref=bbox_ref,
+        mu_gather_ref=mug_ref,
     )
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
 
@@ -174,6 +178,9 @@ def _march_track_kernel(structure, cfg, height, width, gpw, fields,
 
 def _shadow_sorted_kernel(structure, cfg, fields, use_scratch, emit_stats,
                           sph_ref, mu_ref, blk_ref, bbox_ref, *refs):
+    mug_ref = None
+    if use_scratch:
+        mug_ref, refs = refs[0], refs[1:]
     param_refs = dict(zip(fields, refs[: len(fields)]))
     rest = refs[len(fields):]
     scratch_ref = bounds_ref = None
@@ -189,6 +196,7 @@ def _shadow_sorted_kernel(structure, cfg, fields, use_scratch, emit_stats,
     inst = InstancedScene(
         structure, sph_ref, mu_ref, blk_ref,
         list(values.get("plane_y", ())), bbox_ref=bbox_ref,
+        mu_gather_ref=mug_ref,
     )
     so = (so_ref[0:1, :], so_ref[1:2, :], so_ref[2:3, :])
     ld = (ld_ref[0:1, :], ld_ref[1:2, :], ld_ref[2:3, :])
@@ -343,6 +351,7 @@ def _make_shadow_call(structure, cfg, fields, use_scratch, npad,
         ),
         grid=(nt,),
         in_specs=[_vmem(), _vmem(), _vmem(), _smem()]
+        + ([_vmem()] if use_scratch else [])
         + [_smem() for _ in fields] + [_row(3), _row(3), _row(1)],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -392,7 +401,10 @@ def make_instanced_renderer_regrouped(
     )
     if use_scratch and cfg.scratch_window:
         scratch_shapes.append(pltpu.VMEM((8, 128), jnp.float32))
-    table_specs = [_vmem(), _vmem(), _vmem(), _smem()]
+    table_specs4 = [_vmem(), _vmem(), _vmem(), _smem()]
+    table_specs = list(table_specs4)
+    if use_scratch:
+        table_specs.append(_vmem())  # gather bounds (pack_gather_bounds)
     field_specs = [_smem() for _ in fields]
 
     callA = pl.pallas_call(
@@ -418,7 +430,7 @@ def make_instanced_renderer_regrouped(
             _shade_planes_kernel, structure, cfg, fh, width, gpw, fields,
         ),
         grid=(nt,),
-        in_specs=[_smem()] + table_specs + field_specs + [_row(n_frozen)],
+        in_specs=[_smem()] + table_specs4 + field_specs + [_row(n_frozen)],
         out_specs=_row(3),
         out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
         interpret=interpret,
@@ -428,6 +440,10 @@ def make_instanced_renderer_regrouped(
     def render(params: SceneParams, row0) -> jnp.ndarray:
         tables = pack_instanced_spheres(params, structure.material_ids)
         spheres_t, mu_b, blk_b, bbox = tables
+        if use_scratch:
+            from loltracer_tpu.render.pallas_scene import pack_gather_bounds
+
+            tables = tables + (pack_gather_bounds(spheres_t),)
         cam = camera_pack(params, fh, width, cfg, row0)
         fargs = [
             jnp.asarray(getattr(params, f)).astype(jnp.float32)
@@ -477,7 +493,7 @@ def make_instanced_renderer_regrouped(
             light_planes.extend([res, tst])
 
         frozen = jnp.concatenate([track] + light_planes, axis=0)
-        img_planar = callD(cam, *tables, *fargs, frozen)
+        img_planar = callD(cam, *tables[:4], *fargs, frozen)
         planar = _from_columns(img_planar, gph, gpw)
         return jnp.moveaxis(planar, 0, -1)[:height, :width, :]
 
@@ -547,6 +563,7 @@ def shadow_gather_stats(
         ),
         grid=(nt,),
         in_specs=[_smem(), _vmem(), _vmem(), _vmem(), _smem()]
+        + ([_vmem()] if use_scratch and cfg.step_clamp is not None else [])
         + [_smem() for _ in fields],
         out_specs=_row(3),
         out_shape=jax.ShapeDtypeStruct((3, npad), jnp.float32),
@@ -564,6 +581,10 @@ def shadow_gather_stats(
     @jax.jit
     def run(params):
         tables = pack_instanced_spheres(params, structure.material_ids)
+        if use_scratch:
+            from loltracer_tpu.render.pallas_scene import pack_gather_bounds
+
+            tables = tables + (pack_gather_bounds(tables[0]),)
         cam = camera_pack(params, height, width, cfg, 0.0)
         fargs = [
             jnp.asarray(getattr(params, f)).astype(jnp.float32)

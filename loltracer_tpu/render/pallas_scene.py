@@ -281,6 +281,16 @@ if INSTANCED_LANES % 8 or INSTANCED_GROUP % 8:
         f"LOL_INSTANCED_LANES/GROUP ({INSTANCED_LANES}/{INSTANCED_GROUP}) "
         "must be multiples of 8 (sublane-aligned window slices)"
     )
+# Scratch-GATHER granularity (spheres per gathered bound/copy; r5): finer
+# than the 64-sphere traversal micro-block because the gather capsule's
+# radius is clamp + group-ball-R — at 64 spheres the ball radius (~3-4
+# units in the 10k field) triples the capsule volume vs 16-sphere balls.
+GATHER_GROUP = int(_os.environ.get("LOL_GATHER_GROUP", "16"))
+if GATHER_GROUP % 8 or SCRATCH_CHUNK % GATHER_GROUP:
+    raise ValueError(
+        f"LOL_GATHER_GROUP ({GATHER_GROUP}) must be a multiple of 8 and "
+        f"divide the scratch chunk ({SCRATCH_CHUNK})"
+    )
 # Conservative slack added to micro-block/block bound radii: the bound
 # passes compute |p - ctr| via the MXU expansion |c|^2 - 2c.p + |p|^2,
 # whose f32 cancellation error at |c| ~ 2e2 is ~3e-2 — the margin keeps
@@ -366,6 +376,17 @@ def _group_bounds(pos, rad, group, margin):
     table = table.at[:n, 4].set(bound_s)
     table = table.at[:n, 5].set(jnp.sum(ctr * ctr, axis=-1))
     return table
+
+
+def pack_gather_bounds(spheres_t):
+    """Finer gather-granularity bounds from the packed sphere table:
+    one ball per GATHER_GROUP consecutive (Morton-sorted) spheres, same
+    column layout as the traversal's micro-block bounds. Built once per
+    render by the gather-capable kernel wrappers (pallas_train,
+    pallas_regroup); the traversal itself keeps INSTANCED_GROUP."""
+    return _group_bounds(
+        spheres_t[:, 0:3], spheres_t[:, 3], GATHER_GROUP, BOUND_MARGIN
+    )
 
 
 def pack_instanced_spheres(params, material_ids=None):
@@ -457,13 +478,18 @@ class InstancedScene:
     """
 
     def __init__(self, structure: SceneStructure, sphere_ref, mu_ref,
-                 blk_ref, plane_vals, bbox_ref=None):
+                 blk_ref, plane_vals, bbox_ref=None, mu_gather_ref=None):
         self.structure = structure
         self.sphere_ref = sphere_ref  # [ns_pad, 8] VMEM (pack_…_spheres)
         self.mu_ref = mu_ref          # [nmu_pad, 8] micro-block bounds
         self.blk_ref = blk_ref        # [nbk_pad, 8] 128-sphere block bounds
         self.plane_vals = list(plane_vals)
         self.bbox_ref = bbox_ref      # [6] SMEM sphere-set AABB (lo, hi)
+        # optional FINER bounds ([ns_pad / GATHER_GROUP, 8]) for the
+        # scratch gather only: the 64-sphere micro-block ball inflates
+        # the gather capsule by its ~3-4 unit radius, over-gathering
+        # ~3-5x in dense fields; GATHER_GROUP-sphere balls tighten it
+        self.mu_gather_ref = mu_gather_ref
         self.ns_pad = sphere_ref.shape[0]
         self.nmu_pad = mu_ref.shape[0]
 
@@ -754,15 +780,22 @@ class InstancedScene:
         to construct the ScratchScene with)."""
         from jax import lax
 
-        g = INSTANCED_GROUP
-        dseg = self._segment_block_dist(so, ld, seg_len, self.mu_ref)
-        mR = self.mu_ref[:, 3:4]
+        if self.mu_gather_ref is not None:
+            g = GATHER_GROUP
+            gtab = self.mu_gather_ref
+            n_pad_blocks = gtab.shape[0]
+        else:
+            g = INSTANCED_GROUP
+            gtab = self.mu_ref
+            n_pad_blocks = self.nmu_pad
+        dseg = self._segment_block_dist(so, ld, seg_len, gtab)
+        mR = gtab[:, 3:4]
         flags = jnp.min(
             jnp.where(
                 dseg <= jnp.float32(clamp) + mR + BOUND_MARGIN, 0.0, 1.0
             ),
             axis=1, keepdims=True,
-        )  # (nmu, 1): 0.0 = gather this block
+        )  # (n_blocks, 1): 0.0 = gather this block
         flagged = jnp.where(flags < 0.5, 1.0, 0.0)
         n_blocks = jnp.sum(flagged).astype(jnp.int32)
         overflow = jnp.where(n_blocks * g > cap, 1.0, 0.0)
@@ -794,9 +827,9 @@ class InstancedScene:
             # [first, last] eligible chunk stays tight; min() is exactly
             # associative, so table order never changes values
             key = (
-                (self.mu_ref[:, 0:1] - ox) * dx
-                + (self.mu_ref[:, 1:2] - oy) * dy
-                + (self.mu_ref[:, 2:3] - oz) * dz
+                (gtab[:, 0:1] - ox) * dx
+                + (gtab[:, 1:2] - oy) * dy
+                + (gtab[:, 2:3] - oz) * dz
             )
             pick_key = jnp.where(flagged > 0.5, key, jnp.float32(jnp.inf))
         else:
@@ -809,11 +842,11 @@ class InstancedScene:
         def body(c):
             m_f, off = c
             if pick_key is None:
-                m = jnp.min(jnp.where(m_f > 0.5, sub, self.nmu_pad))
+                m = jnp.min(jnp.where(m_f > 0.5, sub, n_pad_blocks))
             else:
                 live_key = jnp.where(m_f > 0.5, pick_key, jnp.inf)
                 kmin = jnp.min(live_key)
-                m = jnp.min(jnp.where(live_key <= kmin, sub, self.nmu_pad))
+                m = jnp.min(jnp.where(live_key <= kmin, sub, n_pad_blocks))
             scratch_ref[pl.ds(off, g), :] = self.sphere_ref[
                 pl.ds(m * g, g), :
             ]

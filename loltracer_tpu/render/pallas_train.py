@@ -129,31 +129,60 @@ def _rays_from_xy(cam, height, width, x, y):
     return ro, (rdx / norm, rdy / norm, rdz / norm)
 
 
-def _rays_from_cam(cam, height, width, ti, tj, tile=None):
+def _rays_from_cam(cam, height, width, ti, tj, tile=None, rowtab_ref=None):
     """(th, tw)-tile pixel rays for tile (ti, tj) (pl.program_id in
     kernels; plain ints in out-of-kernel tests); cam[15] = row offset.
     `tile` defaults to the interpreter tile (pallas_scene.resolve_tile
-    picks the hardware shape in the kernel builders)."""
+    picks the hardware shape in the kernel builders).
+
+    `rowtab_ref` (SMEM f32 [ph // 8], optional) maps each 8-row group of
+    the padded call to its ABSOLUTE image row — the balanced interleaved
+    row sharding (parallel/sharded.py): a shard's local rows need not be
+    contiguous in the image, they are dealt in 8-row blocks. Without it
+    the classic contiguous mapping cam[15] + local row applies."""
     th, tw = tile or (TILE_H, TILE_W)
     f32 = jnp.float32
     rows = lax.broadcasted_iota(jnp.int32, (th, tw), 0)
     cols = lax.broadcasted_iota(jnp.int32, (th, tw), 1)
-    y = cam[15] + (ti * th + rows).astype(f32)
+    # BOTH modes build y through the same per-8-row-group where-chain: a
+    # graph-shape difference here changes XLA/Mosaic's downstream FMA
+    # contraction of the ray math by 1 ulp (measured), which flips
+    # near-tied march/penumbra argmins at isolated pixels — the offset
+    # mode mirrors the table mode's structure so every fused path stays
+    # bitwise identical (all row quantities are exact small ints, so the
+    # re-associated sums are exact).
+    groups = th // 8
+    gidx = rows // 8
+    base = czero(rows.astype(f32))
+    for g in range(groups):
+        if rowtab_ref is None:
+            # jnp.asarray: ti is a plain int when called out-of-kernel
+            bg = cam[15] + jnp.asarray(ti * th + 8 * g).astype(f32)
+        else:
+            bg = rowtab_ref[ti * groups + g]
+        base = jnp.where(gidx == g, bg, base)
+    y = base + (rows % 8).astype(f32)
     x = (tj * tw + cols).astype(f32)
     return _rays_from_xy(cam, height, width, x, y)
 
 
-def _rays_from_cam_cols(cam, height, width, gpw, pi):
+def _rays_from_cam_cols(cam, height, width, gpw, pi, rowtab_ref=None):
     """(1, COL) lane-row pixel rays for instanced patch pi of a
     (gph, gpw) patch grid (pallas_march P_H x P_W patches; cam[15] = row
-    offset)."""
+    offset). `rowtab_ref` (SMEM f32 [gph], optional) maps each PATCH row
+    to its absolute image row for interleaved sharding (P_H-row blocks
+    keep patches spatially whole — the traversal windows depend on patch
+    coherence)."""
     from loltracer_tpu.render.pallas_march import COL, P_H, P_W
 
     f32 = jnp.float32
     k = lax.broadcasted_iota(jnp.int32, (1, COL), 1)
     ti = pi // gpw
     tj = pi - ti * gpw
-    y = cam[15] + (ti * P_H + k // P_W).astype(f32)
+    if rowtab_ref is None:
+        y = cam[15] + (ti * P_H + k // P_W).astype(f32)
+    else:
+        y = rowtab_ref[ti] + (k // P_W).astype(f32)
     x = (tj * P_W + (k % P_W)).astype(f32)
     return _rays_from_xy(cam, height, width, x, y)
 
@@ -315,7 +344,11 @@ def _shade_from_frozen(structure, cfg, scn, cam,
 
 
 def _train_fwd_kernel(structure, cfg, height, width, fields,
-                      with_residuals, tile, unroll, cam_ref, *refs):
+                      with_residuals, tile, unroll, with_rowtab, cam_ref,
+                      *refs):
+    rowtab_ref = None
+    if with_rowtab:
+        rowtab_ref, refs = refs[0], refs[1:]
     param_refs = dict(zip(fields, refs[: len(fields)]))
     if with_residuals:
         img_ref, res_ref = refs[len(fields):]
@@ -327,7 +360,7 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
 
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    ro, rd = _rays_from_cam(cam, height, width, ti, tj, tile)
+    ro, rd = _rays_from_cam(cam, height, width, ti, tj, tile, rowtab_ref)
     ro_x, ro_y, ro_z = ro
     rdx, rdy, rdz = rd
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
@@ -417,7 +450,7 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
     r, g, b = _shade_from_frozen(
         structure, cfg, scn, cam, t_sh, hit_f, mat_f, den,
         shadow_res, shadow_tstar,
-        lambda c: _rays_from_cam(c, height, width, ti, tj, tile),
+        lambda c: _rays_from_cam(c, height, width, ti, tj, tile, rowtab_ref),
     )
 
     img_ref[0, :, :] = r
@@ -434,7 +467,10 @@ def _train_fwd_kernel(structure, cfg, height, width, fields,
 
 
 def _train_bwd_kernel(structure, cfg, height, width, fields, tile,
-                      cam_ref, *refs):
+                      with_rowtab, cam_ref, *refs):
+    rowtab_ref = None
+    if with_rowtab:
+        rowtab_ref, refs = refs[0], refs[1:]
     nf = len(fields)
     param_refs = dict(zip(fields, refs[:nf]))
     res_ref, ct_ref = refs[nf], refs[nf + 1]
@@ -460,7 +496,7 @@ def _train_bwd_kernel(structure, cfg, height, width, fields, tile,
         return _shade_from_frozen(
             structure, cfg, scn, cam, t_sh, hit_f, mat_f, den,
             shadow_res, shadow_tstar,
-            lambda c: _rays_from_cam(c, height, width, ti, tj, tile),
+            lambda c: _rays_from_cam(c, height, width, ti, tj, tile, rowtab_ref),
         )
 
     _, vjp_fn = jax.vjp(reattach, values, cam)
@@ -514,7 +550,8 @@ def num_residuals(structure: SceneStructure) -> int:
 
 
 def make_fwd_call(structure, height, width, cfg, interpret=False,
-                  full_height=None, with_residuals=True):
+                  full_height=None, with_residuals=True,
+                  with_row_table=False):
     """The fused forward pallas_call: (cam [16], *fields) ->
     (img [3, ph, pw], residuals [R, ph, pw]) — or img alone with
     with_residuals=False (the forward-only renderer: same kernel, no
@@ -543,9 +580,11 @@ def make_fwd_call(structure, height, width, cfg, interpret=False,
         functools.partial(
             _train_fwd_kernel, structure, cfg, full_height or height, width,
             fields, with_residuals, tile, resolve_unroll(interpret),
+            with_row_table,
         ),
         grid=(gh, gw),
-        in_specs=[_smem()] + [_smem() for _ in fields],
+        in_specs=[_smem()] + ([_smem()] if with_row_table else [])
+        + [_smem() for _ in fields],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -554,7 +593,7 @@ def make_fwd_call(structure, height, width, cfg, interpret=False,
 
 
 def make_bwd_call(structure, height, width, cfg, interpret=False,
-                  full_height=None):
+                  full_height=None, with_row_table=False):
     """The fused backward pallas_call: (cam, *fields, residuals [R, ph, pw],
     cotangent [3, ph, pw]) -> (dcam [16], *dfields), with the parameter
     gradients accumulated across the sequential grid.
@@ -582,10 +621,11 @@ def make_bwd_call(structure, height, width, cfg, interpret=False,
     return pl.pallas_call(
         functools.partial(
             _train_bwd_kernel, structure, cfg, full_height or height, width,
-            fields, tile,
+            fields, tile, with_row_table,
         ),
         grid=(gh, gw),
-        in_specs=[_smem()] + [_smem() for _ in fields]
+        in_specs=[_smem()] + ([_smem()] if with_row_table else [])
+        + [_smem() for _ in fields]
         + [_vtile(n_res, tile), _vtile(3, tile)],
         out_specs=tuple([_smem()] + [_smem() for _ in fields]),
         out_shape=tuple(
@@ -605,6 +645,7 @@ def make_training_renderer(
     interpret: bool = False,
     full_height: int = None,
     with_row_offset: bool = False,
+    with_row_table: bool = False,
 ) -> Callable[[SceneParams], jnp.ndarray]:
     """Compile `params -> [H, W, 3] f32` through the fused Pallas training
     kernels, differentiable w.r.t. every scene parameter via custom_vjp.
@@ -614,7 +655,12 @@ def make_training_renderer(
     Row-sharded SPMD use (parallel/sharded.py): pass `height` = this
     shard's rows, `full_height` = the whole image's height, and
     `with_row_offset=True` — the returned function then takes
-    (params, row0) where row0 is the shard's first image row."""
+    (params, row0) where row0 is the shard's first image row.
+    `with_row_table=True` instead takes (params, rowtab) with rowtab
+    f32[padded_height // 8] mapping each 8-row group to its ABSOLUTE
+    image row — the balanced interleaved sharding (the reference's
+    round-robin scanline dealing, naive_renderer.c:216, at 8-row
+    granularity)."""
     if structure.instanced:
         raise ValueError(
             "fused training kernels require a compiled (non-instanced) scene"
@@ -631,11 +677,19 @@ def make_training_renderer(
     gh, gw = cdiv(height, th), cdiv(width, tw)
     ph, pw = gh * th, gw * tw
     fh = full_height or height
-    fwd_call = make_fwd_call(structure, height, width, cfg, interpret, fh)
-    bwd_call = make_bwd_call(structure, height, width, cfg, interpret, fh)
+    fwd_call = make_fwd_call(structure, height, width, cfg, interpret, fh,
+                             with_row_table=with_row_table)
+    bwd_call = make_bwd_call(structure, height, width, cfg, interpret, fh,
+                             with_row_table=with_row_table)
 
-    def cam_pack_fn(params: SceneParams, row0) -> jnp.ndarray:
+    def cam_pack_fn(params: SceneParams, rowsel) -> jnp.ndarray:
+        # with a row table the absolute rows live in the table; cam[15]
+        # stays zero
+        row0 = 0.0 if with_row_table else rowsel
         return camera_pack(params, fh, width, cfg, row0)
+
+    def tab_args(rowsel):
+        return (rowsel,) if with_row_table else ()
 
     def field_args(params: SceneParams):
         return [
@@ -644,18 +698,21 @@ def make_training_renderer(
         ]
 
     @jax.custom_vjp
-    def render(params: SceneParams, row0) -> jnp.ndarray:
-        img, _ = fwd_call(cam_pack_fn(params, row0), *field_args(params))
+    def render(params: SceneParams, rowsel) -> jnp.ndarray:
+        img, _ = fwd_call(
+            cam_pack_fn(params, rowsel), *tab_args(rowsel),
+            *field_args(params),
+        )
         return jnp.moveaxis(img, 0, -1)[:height, :width, :]
 
-    def render_fwd(params, row0):
-        cam = cam_pack_fn(params, row0)
-        img, res = fwd_call(cam, *field_args(params))
+    def render_fwd(params, rowsel):
+        cam = cam_pack_fn(params, rowsel)
+        img, res = fwd_call(cam, *tab_args(rowsel), *field_args(params))
         out = jnp.moveaxis(img, 0, -1)[:height, :width, :]
-        return out, (params, row0, cam, res)
+        return out, (params, rowsel, cam, res)
 
     def render_bwd(saved, ct):
-        params, row0, cam, res = saved
+        params, rowsel, cam, res = saved
         # zero-pad the cotangent into tile-aligned planes; padded pixels
         # contribute nothing
         ctp = jnp.moveaxis(ct.astype(jnp.float32), -1, 0)
@@ -663,12 +720,15 @@ def make_training_renderer(
             ctp = jnp.pad(
                 ctp, ((0, 0), (0, ph - height), (0, pw - width))
             )
-        outs = bwd_call(cam, *field_args(params), res, ctp)
+        outs = bwd_call(
+            cam, *tab_args(rowsel), *field_args(params), res, ctp
+        )
         dcam, dfields = outs[0], outs[1:]
 
         # chain the camera-pack cotangent through the (pure jnp) pack;
-        # row0 is positional (non-trainable) and gets a zero cotangent
-        _, cam_vjp = jax.vjp(lambda p: cam_pack_fn(p, row0), params)
+        # rowsel (row0 or the row table) is positional (non-trainable)
+        # and gets a zero cotangent
+        _, cam_vjp = jax.vjp(lambda p: cam_pack_fn(p, rowsel), params)
         (dparams,) = cam_vjp(dcam)
         updates = {}
         for f, g in zip(fields, dfields):
@@ -676,10 +736,31 @@ def make_training_renderer(
             updates[f] = (prev + g).astype(prev.dtype)
         return (
             dataclasses.replace(dparams, **updates),
-            jnp.zeros_like(jnp.asarray(row0, jnp.float32)),
+            jnp.zeros_like(jnp.asarray(rowsel, jnp.float32)),
         )
 
     render.defvjp(render_fwd, render_bwd)
+
+    if with_row_table:
+        def renderer_tab(params: SceneParams, rowtab) -> jnp.ndarray:
+            rowtab = jnp.asarray(rowtab, jnp.float32)
+            need = ph // 8
+            have = cdiv(height, 8)
+            if rowtab.shape != (have,):
+                raise ValueError(
+                    f"row table must have one entry per 8-row group "
+                    f"({have}); got {rowtab.shape}"
+                )
+            if have < need:
+                # tile padding beyond the real rows: repeat the last base
+                # (those rows are computed and sliced off, like the
+                # contiguous path's padding)
+                rowtab = jnp.concatenate(
+                    [rowtab, jnp.broadcast_to(rowtab[-1], (need - have,))]
+                )
+            return render(params, rowtab)
+
+        return renderer_tab
 
     if with_row_offset:
         def renderer_rows(params: SceneParams, row0) -> jnp.ndarray:
@@ -757,8 +838,17 @@ def _compose_track(structure, values, cut, raw, matf, nx, ny, nz, py):
 
 
 def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
-                          with_residuals, use_scratch, cam_ref, sph_ref,
-                          mu_ref, blk_ref, bbox_ref, *refs):
+                          with_residuals, use_scratch, with_rowtab,
+                          cam_ref, *refs):
+    rowtab_ref = None
+    if with_rowtab:
+        rowtab_ref, refs = refs[0], refs[1:]
+    sph_ref, mu_ref, blk_ref, bbox_ref = refs[:4]
+    refs = refs[4:]
+    mug_ref = None
+    if use_scratch:
+        # finer gather bounds (pallas_scene.GATHER_GROUP spheres per ball)
+        mug_ref, refs = refs[0], refs[1:]
     param_refs = dict(zip(fields, refs[: len(fields)]))
     outs = refs[len(fields):]
     scratch_ref = None
@@ -783,7 +873,7 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
     pi = pl.program_id(0)
 
     def rays_fn(c):
-        return _rays_from_cam_cols(c, height, width, gpw, pi)
+        return _rays_from_cam_cols(c, height, width, gpw, pi, rowtab_ref)
 
     ro, rd = rays_fn(cam)
     ro_x, ro_y, ro_z = ro
@@ -791,6 +881,7 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
     inst = InstancedScene(
         structure, sph_ref, mu_ref, blk_ref,
         list(values.get("plane_y", ())), bbox_ref=bbox_ref,
+        mu_gather_ref=mug_ref,
     )
     scn = _InstancedShading(structure, values, inst, cfg)
     zeros = czero(rdx) + czero(rdy) + czero(rdz)
@@ -962,8 +1053,20 @@ def _instanced_fwd_kernel(structure, cfg, height, width, gpw, fields,
             res_ref[5 + 2 * li:6 + 2 * li, :] = shadow_tstar[li]
 
 
+def instanced_uses_scratch(cfg) -> bool:
+    """Whether the instanced kernels run the per-patch scratch gather
+    (config.py shadow_scratch): callers use this to know if the gather
+    bounds table (pack_gather_bounds) must be passed."""
+    return bool(
+        cfg.shadow_scratch
+        and (cfg.step_clamp is not None
+             or cfg.effective_shadow_clamp() is not None)
+    )
+
+
 def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
-                            full_height=None, with_residuals=False):
+                            full_height=None, with_residuals=False,
+                            with_row_table=False):
     """The fused instanced forward pallas_call over lane-row patches:
     (cam, spheres_t, mu_bounds, blk_bounds, *small fields) -> img
     [3, NT*COL] (+ residuals [n_res, NT*COL] with with_residuals)."""
@@ -976,11 +1079,7 @@ def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
     # per-patch scratch gathers (config.py shadow_scratch): only
     # meaningful when a step clamp bounds the relevant sphere set (primary
     # march: step_clamp; shadow marches: the effective shadow clamp)
-    use_scratch = bool(
-        cfg.shadow_scratch
-        and (cfg.step_clamp is not None
-             or cfg.effective_shadow_clamp() is not None)
-    )
+    use_scratch = instanced_uses_scratch(cfg)
     if use_scratch and cfg.shadow_scratch % 256:
         raise ValueError(
             "cfg.shadow_scratch must be a multiple of 256 (the scratch "
@@ -1012,11 +1111,13 @@ def make_instanced_fwd_call(structure, height, width, cfg, interpret=False,
         functools.partial(
             _instanced_fwd_kernel, structure, cfg, full_height or height,
             width, gpw, fields, with_residuals, use_scratch,
+            with_row_table,
         ),
         grid=(nt,),
-        in_specs=[_smem()]
+        in_specs=[_smem()] + ([_smem()] if with_row_table else [])
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         + [_smem()]  # bbox
+        + ([pl.BlockSpec(memory_space=pltpu.VMEM)] if use_scratch else [])
         + [_smem() for _ in fields],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1034,6 +1135,7 @@ def make_instanced_renderer(
     interpret: bool = False,
     full_height: int = None,
     with_row_offset: bool = False,
+    with_row_table: bool = False,
 ) -> Callable[[SceneParams], jnp.ndarray]:
     """Compile `params -> [H, W, 3] f32` through the fused instanced
     forward kernel: the whole pipeline (march, shadows, normals, Phong,
@@ -1043,7 +1145,10 @@ def make_instanced_renderer(
 
     Row-sharded SPMD use (parallel/sharded.py): `height` = this shard's
     rows, `full_height` = the whole image's height (NDC mapping stays
-    global), `with_row_offset=True` -> the function takes (params, row0)."""
+    global), `with_row_offset=True` -> the function takes (params, row0);
+    `with_row_table=True` -> (params, rowtab) with rowtab f32[gph]
+    mapping each P_H-row patch row to its absolute image row (balanced
+    interleaved sharding)."""
     from loltracer_tpu.render.pallas_march import P_H, P_W, _from_columns
 
     if not structure.instanced:
@@ -1054,18 +1159,38 @@ def make_instanced_renderer(
     call = make_instanced_fwd_call(
         structure, gph * P_H, gpw * P_W, cfg, interpret=interpret,
         full_height=fh, with_residuals=False,
+        with_row_table=with_row_table,
     )
 
-    def render(params: SceneParams, row0) -> jnp.ndarray:
+    def render(params: SceneParams, rowsel) -> jnp.ndarray:
         spheres_t, mu_b, blk_b, bbox = pack_instanced_spheres(
             params, structure.material_ids
         )
-        args = [camera_pack(params, fh, width, cfg, row0), spheres_t, mu_b,
-                blk_b, bbox]
+        row0 = 0.0 if with_row_table else rowsel
+        args = [camera_pack(params, fh, width, cfg, row0)]
+        if with_row_table:
+            args.append(rowsel)
+        args += [spheres_t, mu_b, blk_b, bbox]
+        if instanced_uses_scratch(cfg):
+            from loltracer_tpu.render.pallas_scene import pack_gather_bounds
+
+            args.append(pack_gather_bounds(spheres_t))
         for f in fields:
             args.append(jnp.asarray(getattr(params, f)).astype(jnp.float32))
         planar = _from_columns(call(*args), gph, gpw)
         return jnp.moveaxis(planar, 0, -1)[:height, :width, :]
+
+    if with_row_table:
+        def renderer_tab(params: SceneParams, rowtab) -> jnp.ndarray:
+            rowtab = jnp.asarray(rowtab, jnp.float32)
+            if rowtab.shape != (gph,):
+                raise ValueError(
+                    f"row table must have one entry per patch row "
+                    f"({gph}); got {rowtab.shape}"
+                )
+            return render(params, rowtab)
+
+        return renderer_tab
 
     if with_row_offset:
         def renderer_rows(params: SceneParams, row0) -> jnp.ndarray:
@@ -1187,8 +1312,12 @@ class _ReplayDist:
 
 
 def _instanced_bwd_kernel(structure, cfg, height, width, gpw, fields,
-                          cam_ref, sph_ref, mu_ref, blk_ref, bbox_ref,
-                          *refs):
+                          with_rowtab, cam_ref, *refs):
+    rowtab_ref = None
+    if with_rowtab:
+        rowtab_ref, refs = refs[0], refs[1:]
+    sph_ref, mu_ref, blk_ref, bbox_ref = refs[:4]
+    refs = refs[4:]
     nf = len(fields)
     param_refs = dict(zip(fields, refs[:nf]))
     res_ref, ct_ref = refs[nf], refs[nf + 1]
@@ -1201,7 +1330,7 @@ def _instanced_bwd_kernel(structure, cfg, height, width, gpw, fields,
     pi = pl.program_id(0)
 
     def rays_fn(c):
-        return _rays_from_cam_cols(c, height, width, gpw, pi)
+        return _rays_from_cam_cols(c, height, width, gpw, pi, rowtab_ref)
 
     inst = InstancedScene(
         structure, sph_ref, mu_ref, blk_ref,
@@ -1314,7 +1443,8 @@ def _instanced_bwd_kernel(structure, cfg, height, width, gpw, fields,
 
 
 def make_instanced_bwd_call(structure, height, width, cfg, ns_pad,
-                            interpret=False, full_height=None):
+                            interpret=False, full_height=None,
+                            with_row_table=False):
     """The fused instanced backward pallas_call: (cam, tables..., *smalls,
     residuals, cotangent) -> (dcam, *dsmalls, dsph [ns_pad, 8])."""
     from loltracer_tpu.render.pallas_march import COL, P_H, P_W
@@ -1341,10 +1471,10 @@ def make_instanced_bwd_call(structure, height, width, cfg, ns_pad,
     return pl.pallas_call(
         functools.partial(
             _instanced_bwd_kernel, structure, cfg, full_height or height,
-            width, gpw, fields,
+            width, gpw, fields, with_row_table,
         ),
         grid=(nt,),
-        in_specs=[_smem()]
+        in_specs=[_smem()] + ([_smem()] if with_row_table else [])
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         + [_smem()]
         + [_smem() for _ in fields]
@@ -1370,6 +1500,7 @@ def make_instanced_training_renderer(
     interpret: bool = False,
     full_height: int = None,
     with_row_offset: bool = False,
+    with_row_table: bool = False,
 ) -> Callable[[SceneParams], jnp.ndarray]:
     """Compile `params -> [H, W, 3] f32` through the fused instanced
     forward+backward kernels, differentiable w.r.t. every scene parameter
@@ -1401,12 +1532,20 @@ def make_instanced_training_renderer(
     fh = full_height or height
     fwd_call = make_instanced_fwd_call(
         structure, gph * P_H, gpw * P_W, cfg, interpret=interpret,
-        full_height=fh, with_residuals=True,
+        full_height=fh, with_residuals=True, with_row_table=with_row_table,
     )
     bwd_call = make_instanced_bwd_call(
         structure, gph * P_H, gpw * P_W, cfg, ns_pad, interpret=interpret,
-        full_height=fh,
+        full_height=fh, with_row_table=with_row_table,
     )
+
+    def _cam(params, rowsel):
+        return camera_pack(
+            params, fh, width, cfg, 0.0 if with_row_table else rowsel
+        )
+
+    def _tab(rowsel):
+        return (rowsel,) if with_row_table else ()
 
     def pack_all(params):
         from loltracer_tpu.render.pallas_scene import pack_instanced_spheres
@@ -1419,30 +1558,37 @@ def make_instanced_training_renderer(
             for f in fields
         ]
 
+    def _gb(spheres_t):
+        if not instanced_uses_scratch(cfg):
+            return ()
+        from loltracer_tpu.render.pallas_scene import pack_gather_bounds
+
+        return (pack_gather_bounds(spheres_t),)
+
     @jax.custom_vjp
-    def render(params: SceneParams, row0) -> jnp.ndarray:
+    def render(params: SceneParams, rowsel) -> jnp.ndarray:
         spheres_t, mu_b, blk_b, bbox = pack_all(params)
-        cam = camera_pack(params, fh, width, cfg, row0)
-        img, _ = fwd_call(cam, spheres_t, mu_b, blk_b, bbox,
-                          *field_args(params))
+        cam = _cam(params, rowsel)
+        img, _ = fwd_call(cam, *_tab(rowsel), spheres_t, mu_b, blk_b, bbox,
+                          *_gb(spheres_t), *field_args(params))
         return jnp.moveaxis(
             _from_columns(img, gph, gpw), 0, -1
         )[:height, :width, :]
 
-    def render_fwd(params, row0):
+    def render_fwd(params, rowsel):
         spheres_t, mu_b, blk_b, bbox = pack_all(params)
-        cam = camera_pack(params, fh, width, cfg, row0)
-        img, res = fwd_call(cam, spheres_t, mu_b, blk_b, bbox,
-                            *field_args(params))
+        cam = _cam(params, rowsel)
+        img, res = fwd_call(cam, *_tab(rowsel), spheres_t, mu_b, blk_b,
+                            bbox, *_gb(spheres_t), *field_args(params))
         out = jnp.moveaxis(
             _from_columns(img, gph, gpw), 0, -1
         )[:height, :width, :]
-        return out, (params, row0, cam, spheres_t, mu_b, blk_b, bbox, res)
+        return out, (params, rowsel, cam, spheres_t, mu_b, blk_b, bbox, res)
 
     def render_bwd(saved, ct):
         import dataclasses as _dc
 
-        params, row0, cam, spheres_t, mu_b, blk_b, bbox, res = saved
+        params, rowsel, cam, spheres_t, mu_b, blk_b, bbox, res = saved
         # cotangent back to the padded column layout
         ctp = jnp.moveaxis(ct.astype(jnp.float32), -1, 0)
         ph, pw = gph * P_H, gpw * P_W
@@ -1451,14 +1597,13 @@ def make_instanced_training_renderer(
         from loltracer_tpu.render.pallas_march import _to_columns
 
         ctc = _to_columns(ctp, gph, gpw)
-        outs = bwd_call(cam, spheres_t, mu_b, blk_b, bbox,
+        outs = bwd_call(cam, *_tab(rowsel), spheres_t, mu_b, blk_b, bbox,
                         *field_args(params), res, ctc)
         dcam, dfields, dsph = outs[0], outs[1:-1], outs[-1]
 
-        # camera chain (pure jnp pack); row0 is positional (non-trainable)
-        _, cam_vjp = jax.vjp(
-            lambda p: camera_pack(p, fh, width, cfg, row0), params
-        )
+        # camera chain (pure jnp pack); rowsel is positional
+        # (non-trainable)
+        _, cam_vjp = jax.vjp(lambda p: _cam(p, rowsel), params)
         (dparams,) = cam_vjp(dcam)
         updates = {}
         for f, g in zip(fields, dfields):
@@ -1478,10 +1623,22 @@ def make_instanced_training_renderer(
         ).astype(jnp.asarray(params.sphere_radius).dtype)
         return (
             _dc.replace(dparams, **updates),
-            jnp.zeros_like(jnp.asarray(row0, jnp.float32)),
+            jnp.zeros_like(jnp.asarray(rowsel, jnp.float32)),
         )
 
     render.defvjp(render_fwd, render_bwd)
+
+    if with_row_table:
+        def renderer_tab(params: SceneParams, rowtab) -> jnp.ndarray:
+            rowtab = jnp.asarray(rowtab, jnp.float32)
+            if rowtab.shape != (gph,):
+                raise ValueError(
+                    f"row table must have one entry per patch row "
+                    f"({gph}); got {rowtab.shape}"
+                )
+            return render(params, rowtab)
+
+        return renderer_tab
 
     if with_row_offset:
         def renderer_rows(params: SceneParams, row0) -> jnp.ndarray:

@@ -243,6 +243,99 @@ def band_balance(
     }
 
 
+def block_row_costs(
+    structure: SceneStructure,
+    params: SceneParams,
+    height: int,
+    width: int,
+    G: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    tile: Tuple[int, int] = (8, 128),
+) -> np.ndarray:
+    """Estimated cost per G-row block, [height // G] float64: summed
+    worst-lane march + per-light shadow steps over the block's tiles (the
+    serial tile cost model). Feeds the cost-aware static schedule
+    (parallel/sharded.assign_blocks) — computed ONCE per build from the
+    current params, host-side."""
+    march = march_step_counts(structure, params, height, width, cfg)
+    shadow = shadow_step_counts(structure, params, height, width, cfg)
+    th, tw = tile
+    ww = width - width % tw
+
+    def row_cost(plane):
+        tiles = plane[:, :ww].reshape(height // th, th, ww // tw, tw)
+        return tiles.max(axis=(1, 3)).sum(axis=1).astype(np.float64)
+
+    per_row = row_cost(march)
+    for li in range(shadow.shape[0]):
+        per_row = per_row + row_cost(shadow[li])
+    return per_row.reshape(height // G, G // th).sum(axis=1)
+
+
+def shard_balance(
+    structure: SceneStructure,
+    params: SceneParams,
+    height: int,
+    width: int,
+    n_shards: int,
+    cfg: RenderConfig = DEFAULT_CONFIG,
+    tile: Tuple[int, int] = (8, 128),
+    cost_aware: bool = True,
+) -> Dict[str, object]:
+    """Load-balance efficiency of the PRODUCTION row-sharding assignment
+    (parallel/sharded.py: cost-aware LPT blocks with cost_aware, snake
+    blocks otherwise, contiguous bands when the height doesn't split), on
+    the same deterministic worst-lane tile cost model as band_balance.
+    This is the quantity that caps weak-scaling efficiency on real chips
+    — the contiguous bands the r4 ladders used measured 0.43-0.80 on
+    this model, which is why the dealt assignments exist."""
+    from loltracer_tpu.parallel.sharded import (
+        interleave_rows,
+        row_granularity,
+    )
+
+    march = march_step_counts(structure, params, height, width, cfg)
+    shadow = shadow_step_counts(structure, params, height, width, cfg)
+    th, tw = tile
+    ww = width - width % tw
+
+    def row_cost(plane):  # [H, W] -> worst-lane cost per th-row tile row
+        tiles = plane[:, :ww].reshape(height // th, th, ww // tw, tw)
+        return tiles.max(axis=(1, 3)).sum(axis=1).astype(np.float64)
+
+    per_row = row_cost(march)
+    for li in range(shadow.shape[0]):
+        per_row = per_row + row_cost(shadow[li])
+
+    G = row_granularity(structure)
+    bc = None
+    if cost_aware and height % G == 0:
+        bc = per_row.reshape(height // G, G // th).sum(axis=1)
+    pi = interleave_rows(height, n_shards, G, block_costs=bc)
+    costs = np.zeros(n_shards)
+    if pi is None:
+        assignment = "contiguous"
+        bands = per_row.reshape(n_shards, -1)
+        costs = bands.sum(axis=1)
+    else:
+        assignment = "lpt" if bc is not None else "interleaved-snake"
+        perm = pi[0]
+        rows_per = height // n_shards
+        for i in range(n_shards):
+            rows_i = perm[i * rows_per:(i + 1) * rows_per]
+            # tile-row indices this shard's rows fall in (G >= th blocks)
+            trows = np.unique(rows_i // th)
+            costs[i] = per_row[trows].sum()
+    eff = float(costs.sum() / (n_shards * costs.max()))
+    return {
+        "n_shards": n_shards,
+        "assignment": assignment,
+        "granularity": G,
+        "shard_costs": [float(c) for c in costs],
+        "efficiency_balance": eff,
+    }
+
+
 class frame_timer:
     """Running frame-time stats in the spirit of main.c:196-204."""
 
