@@ -4,12 +4,13 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "rays/s", "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md: `published: {}`), so
-`vs_baseline` is reported against a documented nominal estimate of the
-reference CPU tracer's primary-ray throughput: its JIT backend renders the
-default 320x240 window interactively (~10-15 fps on a desktop core,
-main.c:136-137 and the per-frame timing log main.c:202-204), i.e. on the
-order of 1e6 primary rays/s forward-only. We use 1.0e6 rays/s as that
-nominal anchor; our metric is the strictly harder forward+backward.
+`vs_baseline` divides by a MEASURED CPU baseline (r4 verdict item 6 — the
+old 1.0e6 nominal guess is gone): native/cpu_baseline.c transcribes the
+scene4 pipeline (naive_renderer.c semantics, statically-compiled SDF —
+an upper bound on the reference's DynASM JIT backend, which does the same
+job at runtime) and measured 518,186 rays/s forward-only on ALL cores of
+this machine (271,850 single-thread; 2-core host, BASELINE.md). Our
+metric is the strictly harder forward+backward.
 
 Env overrides: BENCH_SCENE (path), BENCH_W/BENCH_H, BENCH_MODE
 (fwd | fwdbwd), BENCH_BACKEND (pallas | jnp; fwd defaults to the Pallas
@@ -260,7 +261,9 @@ def main():
         f"{width}x{height}{tags}",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / 1.0e6, 3),
+        # measured all-core CPU baseline on THIS machine (BASELINE.md;
+        # native/cpu_baseline.c, 2 threads)
+        "vs_baseline": round(rays_per_s / 518186.3, 3),
     }
     print(json.dumps(result))
 

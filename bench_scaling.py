@@ -101,7 +101,21 @@ def device_time_main():
                 jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g)
             )
 
-        fn = jax.jit(both)
+        # amortize the per-fetch tunnel latency (PERF.md): a compiled
+        # 128-row band is ~2 ms of device time vs ~20-100 ms of fetch, so
+        # unchained timings would measure the network, not the band
+        frames = 1 if scene.structure.instanced else 32
+
+        def chained(p, tab):
+            import dataclasses
+
+            acc = jnp.float32(0.0)
+            for _ in range(frames):
+                q = dataclasses.replace(p, cam_fov=p.cam_fov + 0.0 * acc)
+                acc = acc + both(q, tab)
+            return acc
+
+        fn = jax.jit(chained)
 
         if assign == "contiguous":
             perm = np.arange(height)
