@@ -124,8 +124,12 @@ def fit_scene(
         mesh = make_mesh(n_devices=n)
 
     optimizer = masked_optimizer(optax.adam(learning_rate), params, trainable)
+    # balance_params: the initial params drive the cost-aware LPT row
+    # schedule (parallel/sharded.assign_blocks) — the block cost
+    # distribution drifts only as slowly as the geometry being fitted
     step_fn = make_sharded_train_step(
-        structure, mesh, height, width, optimizer, cfg, project=project
+        structure, mesh, height, width, optimizer, cfg, project=project,
+        balance_params=params,
     )
 
     start = 0

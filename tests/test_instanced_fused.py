@@ -94,7 +94,13 @@ def _penumbra_keep(scene, cfg, H, W):
     cam = camera_pack(scene.params, H, W, cfg)
     args = [jnp.asarray(getattr(scene.params, f), jnp.float32)
             for f in instanced_small_fields(st)]
-    _, res = jax.jit(fwd)(cam, spheres_t, mu_b, blk_b, bbox, *args)
+    # gather-capable calls take the finer gather-bounds table (r5)
+    from loltracer_tpu.render.pallas_scene import pack_gather_bounds
+    from loltracer_tpu.render.pallas_train import instanced_uses_scratch
+
+    gb = (pack_gather_bounds(spheres_t),) if instanced_uses_scratch(cfg) \
+        else ()
+    _, res = jax.jit(fwd)(cam, spheres_t, mu_b, blk_b, bbox, *gb, *args)
     res = np.asarray(_from_columns(res, gph, gpw))[:, :H, :W]
     from _penumbra import penumbra_pixels
 
